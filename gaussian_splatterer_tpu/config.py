@@ -1,0 +1,175 @@
+"""Project / runtime configuration.
+
+``Project`` mirrors the reference's single mutable settings struct
+(reference src/Project.h:6-75) field-for-field so that ``settings.json``
+files round-trip losslessly between the two implementations.  The
+reference serializes with nlohmann's intrusive macro using exactly these
+key names (src/Project.h:64-73); unknown keys are ignored on load by both
+sides, so we may add framework-only keys in a separate file instead.
+
+``RuntimeConfig`` promotes the reference's compile-time constants
+(src/Config.h:7-20) — training resolution, splat capacity, SH degree,
+auto-train budget — to runtime configuration, as those are hard ``#define``s
+in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class CameraSphere:
+    """One Fibonacci-sphere camera rig (reference src/Project.h:14-22)."""
+
+    count: int = 16
+    distance: float = 10.0
+    fovDeg: float = 60.0
+    rotX: float = 0.0  # degrees; rotates about the +Y axis (reference quirk, src/Camera.cpp:40)
+    rotY: float = 0.0  # degrees; rotates about the +X axis (reference quirk, src/Camera.cpp:41)
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "CameraSphere":
+        out = cls()
+        for f in dataclasses.fields(cls):
+            if f.name in d:
+                setattr(out, f.name, f.type_cast(d[f.name]) if hasattr(f, "type_cast") else d[f.name])
+        return out
+
+
+@dataclass
+class Project:
+    """Whole-run settings; JSON-compatible with the reference (src/Project.h:64-73)."""
+
+    perspective: str = ""  # opaque UI layout string in the reference; carried for parity
+
+    pathModel: str = ""
+    pathTextureDiffuse: str = ""
+
+    sphere1: CameraSphere = field(default_factory=CameraSphere)
+    sphere2: CameraSphere = field(default_factory=CameraSphere)
+
+    rtSamples: int = 100
+
+    # Per-feature SGD learning rates (reference src/Project.h:26-30)
+    lrLocation: float = 0.00005
+    lrSh: float = 0.0001
+    lrScale: float = 0.00002
+    lrOpacity: float = 0.0001
+    lrRotation: float = 0.000025
+
+    paramScaleMax: float = 0.3
+
+    # Densify heuristics (reference src/Project.h:34-41)
+    paramCullOpacity: float = 0.005
+    paramCullSize: float = 0.004
+    paramDensifyVariance: float = 2.0
+    paramSplitSize: float = 0.04
+    paramSplitDistance: float = 1.5
+    paramSplitScale: float = 0.8
+    paramCloneDistance: float = 1.6
+
+    iterations: int = 0
+    intervalCapture: int = 50
+    intervalDensify: int = 200
+
+    # Preview / export state (kept for settings-file parity; the headless
+    # pipeline uses previewSplatScale and the free-orbit fields for renders)
+    previewTimer: float = 0.0
+    previewRtSamples: int = 50
+    previewSplatScale: float = 1.0
+    previewTruth: bool = False
+    previewTruthIndex: int = 0
+    previewFreeOrbit: bool = True
+    previewFreeOrbitSpeed: float = 0.5
+    previewFreeDistance: float = 10.0
+    previewFreeFovDeg: float = 60.0
+    previewFreeRotX: float = 25.0
+    previewFreeRotY: float = 0.0
+
+    renderResX: int = 2048
+    renderResY: int = 2048
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def app_default(cls) -> "Project":
+        """The state the reference app boots with (src/ui/UiFrame.cpp:130-135):
+        defaults plus an empty second sphere at 30° FOV."""
+        p = cls()
+        p.sphere2.count = 0
+        p.sphere2.fovDeg = 30.0
+        return p
+
+    # -- JSON round-trip ------------------------------------------------
+    def to_json(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "Project":
+        p = cls()
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if f.name in ("sphere1", "sphere2"):
+                sub = CameraSphere()
+                for sf in dataclasses.fields(CameraSphere):
+                    if sf.name in v:
+                        setattr(sub, sf.name, v[sf.name])
+                setattr(p, f.name, sub)
+            else:
+                setattr(p, f.name, v)
+        return p
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.to_json(), fh)
+
+    @classmethod
+    def load(cls, path: str) -> "Project":
+        with open(path) as fh:
+            return cls.from_json(json.load(fh))
+
+    # -- convenience ----------------------------------------------------
+    @property
+    def num_cameras(self) -> int:
+        """Total truth cameras across both rigs (reference src/Camera.cpp:29-31)."""
+        return self.sphere1.count + self.sphere2.count
+
+
+@dataclass
+class RuntimeConfig:
+    """Framework-level knobs; compile-time constants in the reference (src/Config.h)."""
+
+    render_resolution_x: int = 1024  # truth/training resolution (src/Config.h:13-14)
+    render_resolution_y: int = 1024
+    splats_capacity: int = 1_000_000  # SPLATS_LIMIT (src/Config.h:17)
+    sh_degree: int = 1  # SPLATS_SH_DEGREE (src/Config.h:19)
+    sh_coeffs: int = 4  # SPLATS_SH_COEF (src/Config.h:20)
+    auto_train_budget: float = 100.0  # max steps/s in auto-train (src/Config.h:10)
+
+    # TPU-specific knobs (no reference equivalent)
+    tile_px: int = 16  # rasterizer tile edge in pixels
+    max_dup: int = 2**21  # max splat-tile duplicate pairs per frame (binning capacity)
+    rt_bounces: int = 50  # path-tracer bounce cap (reference src/rtx/RtxDevice.cu:23)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(dataclasses.asdict(self), fh)
+
+    @classmethod
+    def load(cls, path: str) -> "RuntimeConfig":
+        with open(path) as fh:
+            d = json.load(fh)
+        out = cls()
+        for f in dataclasses.fields(cls):
+            if f.name in d:
+                setattr(out, f.name, d[f.name])
+        return out

@@ -1,0 +1,2 @@
+from gaussian_splatterer_tpu.io.gobj import load_gobj, save_gobj  # noqa: F401
+from gaussian_splatterer_tpu.io.obj import load_obj  # noqa: F401

@@ -1,0 +1,122 @@
+import numpy as np
+
+from gaussian_splatterer_tpu.io.gobj import load_gobj, save_gobj
+from gaussian_splatterer_tpu.io.obj import load_obj
+from gaussian_splatterer_tpu.models.splats import (
+    SplatModel,
+    SplatModelHost,
+    init_field_grid,
+    init_field_model,
+    init_field_mono,
+    quat_from_axis_angle,
+)
+
+
+def test_splat_model_empty():
+    m = SplatModel.empty(64, sh_degree=1, sh_coeffs=4)
+    assert m.capacity == 64
+    assert m.sh_coeffs == 4
+    assert int(m.count) == 0
+    assert not bool(m.active_mask().any())
+    np.testing.assert_allclose(np.asarray(m.rotations[:, 0]), 1.0)
+
+
+def test_host_push_copy_roundtrip():
+    h = SplatModelHost(8, 1, 4)
+    h.push_back([1, 2, 3], np.zeros((4, 3)), [0.1, 0.2, 0.3], 0.5, [1, 0, 0, 0])
+    h.push_back([4, 5, 6], np.ones((4, 3)), [0.4, 0.5, 0.6], 0.9, [0.5, 0.5, 0.5, 0.5])
+    h.copy(0, 1)
+    np.testing.assert_allclose(h.means[0], [4, 5, 6])
+    np.testing.assert_allclose(h.opacities[0], 0.9)
+    d = h.to_device()
+    assert int(d.count) == 2
+    h2 = SplatModelHost.from_device(d)
+    np.testing.assert_allclose(h2.means[:2], h.means[:2])
+
+
+def test_init_field_grid():
+    m = init_field_grid(capacity=10000)
+    assert m.count == 17**3  # 4913 splats (src/ui/UiFrame.cpp:137-160)
+    assert m.means[:, 0].min() == -4.0 and m.means[:, 0].max() == 4.0
+    np.testing.assert_allclose(m.scales[: m.count], 0.05)
+    np.testing.assert_allclose(m.opacities[: m.count], 1.0)
+
+
+def test_init_field_mono():
+    m = init_field_mono(capacity=10)
+    assert m.count == 1
+    np.testing.assert_allclose(m.scales[0], 0.3)
+
+
+def test_init_field_model_orients_to_normal():
+    # one triangle in the XY plane -> normal +Z -> identity rotation
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    m = init_field_model(verts, tris, capacity=10)
+    assert m.count == 1
+    np.testing.assert_allclose(m.means[0], [1 / 3, 1 / 3, 0], atol=1e-6)
+    np.testing.assert_allclose(m.scales[0], [0.2, 0.2, 0.001], atol=1e-6)
+    np.testing.assert_allclose(m.rotations[0], [1, 0, 0, 0], atol=1e-6)
+
+
+def test_quat_from_axis_angle():
+    q = quat_from_axis_angle(np.array([0, 0, 2.0]), np.pi / 2)  # unnormalized axis ok
+    np.testing.assert_allclose(q, [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], atol=1e-6)
+
+
+def test_gobj_roundtrip(tmp_path):
+    h = SplatModelHost(4, 1, 4)
+    h.push_back([1, 2, 3], np.arange(12).reshape(4, 3) * 0.1, [0.1, 0.2, 0.3], 0.5,
+                [0.9, 0.1, 0.2, 0.3])
+    h.push_back([-1, -2, -3], np.zeros((4, 3)), [0.4, 0.5, 0.6], 1.0, [1, 0, 0, 0])
+    path = str(tmp_path / "splats.gobj")
+    save_gobj(h, path)
+    m = load_gobj(path)
+    assert m.count == 2
+    assert m.sh_coeffs == 4
+    np.testing.assert_allclose(m.means[:2], h.means[:2], rtol=1e-5)
+    np.testing.assert_allclose(m.shs[:2], h.shs[:2], rtol=1e-5)
+    np.testing.assert_allclose(m.rotations[:2], h.rotations[:2], rtol=1e-5)
+    np.testing.assert_allclose(m.opacities[:2], h.opacities[:2], rtol=1e-5)
+    # capacity autogrow rule (src/ModelSplatsHost.cpp:31-32)
+    assert m.capacity == 1_000_000
+
+
+def test_gobj_text_format(tmp_path):
+    h = SplatModelHost(1, 1, 4)
+    h.push_back([1, 2, 3], np.zeros((4, 3)), [4, 5, 6], 0.5, [1, 0, 0, 0])
+    path = str(tmp_path / "s.gobj")
+    save_gobj(h, path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "v 1 2 3"
+    assert lines[1].startswith("sh 0 0 0")
+    assert lines[2] == "s 4 5 6"
+    assert lines[3] == "a 0.5"
+    assert lines[4] == "r 1 0 0 0"
+
+
+def test_obj_loader_tris_quads_uvs(tmp_path):
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1 2/2 3/3 4/4
+f 1 2 3
+"""
+    path = tmp_path / "m.obj"
+    path.write_text(obj)
+    mesh = load_obj(str(path))
+    assert mesh.vertices.shape == (4, 3)
+    # quad splits into 2 triangles (0,1,2) and (0,2,3); plus a bare tri
+    assert mesh.num_triangles == 3
+    np.testing.assert_array_equal(mesh.triangles[0], [0, 1, 2])
+    np.testing.assert_array_equal(mesh.triangles[1], [0, 2, 3])
+    np.testing.assert_allclose(mesh.tri_uv[0], [[0, 0], [1, 0], [1, 1]])
+    np.testing.assert_allclose(mesh.tri_uv[1], [[0, 0], [1, 1], [0, 1]])
+    # face without vt indices falls back to zeros (src/rtx/RtxHost.cpp:178-182)
+    np.testing.assert_allclose(mesh.tri_uv[2], 0.0)
