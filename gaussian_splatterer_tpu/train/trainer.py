@@ -1,0 +1,277 @@
+"""Training engine: capture, train step, SGD apply, interactive render.
+
+Functional re-design of the reference Trainer (src/Trainer.{cuh,cu}):
+
+* One training iteration renders the model from every truth camera twice
+  (white background set, then black background set — dual-background
+  supervision is what teaches opacity, src/Trainer.cu:311-314), feeds the
+  **signed residual** ``truth - rendered`` back through the rasterizer VJP
+  (src/Trainer.cu:33-44,378-412), averages per-splat gradients over all
+  2F frames, accumulates the mean |location-gradient| as the densify
+  "variance" signal (src/Trainer.cu:47-77), and applies one per-feature-LR
+  SGD step with scale/opacity clamps (src/Trainer.cu:81-101).
+* Because the residual is the negative L2 gradient, ``param += grad * lr``
+  is plain gradient descent on 0.5*||render - truth||^2.
+* The whole step is one jitted ``lax.scan`` over frames: no per-frame
+  allocation (the reference cudaMallocs/frees rasterizer scratch every
+  frame, src/Trainer.cu:335-337,422-424 — XLA buffers are planned once).
+
+The renderer is injected, so the oracle (exact) and the tiled fast path
+share the same trainer; both are pure jnp/Pallas functions of the model
+pytree.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.models.splats import SplatModel
+from gaussian_splatterer_tpu.train.densify import DensifyParams, densify
+
+
+class CameraBatch(NamedTuple):
+    """Stacked per-frame camera tensors (F, ...)."""
+
+    view: jax.Array  # (F, 4, 4)
+    proj_view: jax.Array  # (F, 4, 4)
+    cam_pos: jax.Array  # (F, 3)
+    tan_fovx: jax.Array  # (F,)
+    tan_fovy: jax.Array  # (F,)
+
+    @classmethod
+    def from_cameras(
+        cls, cameras: Sequence[Camera], width: int, height: int, train: bool = True
+    ) -> "CameraBatch":
+        views = np.stack([c.get_view() for c in cameras])
+        pvs = np.stack([c.get_proj_view(width / height) for c in cameras])
+        pos = np.stack([c.location for c in cameras])
+        tans = np.array([c.tan_fov(width, height, train=train) for c in cameras], np.float32)
+        return cls(
+            view=jnp.asarray(views),
+            proj_view=jnp.asarray(pvs),
+            cam_pos=jnp.asarray(pos),
+            tan_fovx=jnp.asarray(tans[:, 0]),
+            tan_fovy=jnp.asarray(tans[:, 1]),
+        )
+
+    @property
+    def num_frames(self) -> int:
+        return self.view.shape[0]
+
+
+class LearningRates(NamedTuple):
+    location: jnp.float32
+    sh: jnp.float32
+    scale: jnp.float32
+    opacity: jnp.float32
+    rotation: jnp.float32
+    scale_max: jnp.float32
+
+    @classmethod
+    def from_project(cls, p: Project) -> "LearningRates":
+        return cls(
+            location=jnp.float32(p.lrLocation),
+            sh=jnp.float32(p.lrSh),
+            scale=jnp.float32(p.lrScale),
+            opacity=jnp.float32(p.lrOpacity),
+            rotation=jnp.float32(p.lrRotation),
+            scale_max=jnp.float32(p.paramScaleMax),
+        )
+
+
+class TrainMetrics(NamedTuple):
+    loss: jax.Array  # () mean MSE over all 2F frames
+    var_loc: jax.Array  # (C,) densify variance signal
+    avg_grad_loc: jax.Array  # (C, 3) mean location gradient
+
+
+# Renderer signature shared by oracle and tiled paths.
+RenderFn = Callable[..., jax.Array]
+
+
+def _default_render(kind: str, row_chunk: int) -> RenderFn:
+    if kind == "oracle":
+        from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+
+        return partial(render_oracle, row_chunk=row_chunk)
+    if kind == "tiled":
+        from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
+
+        return render_tiled
+    raise ValueError(f"unknown renderer {kind!r}")
+
+
+def make_train_step(
+    width: int,
+    height: int,
+    sh_degree: int,
+    renderer: str = "oracle",
+    row_chunk: int = 32,
+    render_fn: Optional[RenderFn] = None,
+):
+    """Build a jitted (model, truths, cams, lrs) -> (model', metrics) step.
+
+    truths: (2F, H, W, 3) float32 — F white-background frames then F
+    black-background frames, same camera order (src/Trainer.cu:311-314).
+    """
+    render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
+
+    @jax.jit
+    def step(model: SplatModel, truths: jax.Array, cams: CameraBatch, lrs: LearningRates):
+        f = cams.num_frames
+        assert truths.shape[0] == 2 * f, "need white+black frame per camera"
+        samples = jnp.float32(2 * f)
+        active = model.active_mask()
+        params = (model.means, model.shs, model.scales, model.opacities, model.rotations)
+
+        # duplicate camera tensors for the white and black passes
+        cams2 = jax.tree.map(lambda x: jnp.concatenate([x, x], 0), cams)
+        bgs = jnp.concatenate(
+            [jnp.ones((f, 3), jnp.float32), jnp.zeros((f, 3), jnp.float32)], 0
+        )
+
+        def frame_fn(carry, xs):
+            avg, var, loss_sum = carry
+            truth, view, pv, pos, tx, ty, bg = xs
+
+            def fwd(p):
+                means, shs, scales, opac, rot = p
+                return render(
+                    means, shs, scales, opac, rot, active,
+                    view, pv, pos, tx, ty, width, height, bg, sh_degree, 1.0,
+                )
+
+            img, pull = jax.vjp(fwd, params)
+            residual = truth - img  # signed difference = -dL/dpixel of L2/2
+            g = pull(residual)[0]
+            avg = jax.tree.map(lambda a, gi: a + gi / samples, avg, g)
+            var = var + jnp.linalg.norm(g[0], axis=-1) / samples
+            loss_sum = loss_sum + jnp.mean(jnp.square(residual))
+            return (avg, var, loss_sum), None
+
+        avg0 = jax.tree.map(jnp.zeros_like, params)
+        var0 = jnp.zeros((model.capacity,), jnp.float32)
+        (avg, var, loss_sum), _ = jax.lax.scan(
+            frame_fn,
+            (avg0, var0, jnp.float32(0.0)),
+            (truths, cams2.view, cams2.proj_view, cams2.cam_pos,
+             cams2.tan_fovx, cams2.tan_fovy, bgs),
+        )
+
+        g_means, g_shs, g_scales, g_opac, g_rot = avg
+        new_model = model.replace(
+            means=model.means + g_means * lrs.location,
+            shs=model.shs + g_shs * lrs.sh,
+            scales=jnp.clip(model.scales + g_scales * lrs.scale, 0.0, lrs.scale_max),
+            opacities=jnp.clip(model.opacities + g_opac * lrs.opacity, 0.0, 1.0),
+            rotations=model.rotations + g_rot * lrs.rotation,
+        )
+        metrics = TrainMetrics(loss=loss_sum / samples, var_loc=var, avg_grad_loc=g_means)
+        return new_model, metrics
+
+    return step
+
+
+def randomize_rig_rotations(project: Project, rng: Optional[random.Random] = None) -> None:
+    """All four rig rotations -> uniform [0, 360) (reference
+    src/ui/tools/UiPanelToolsTruth.cpp:192-197; auto-train triggers this
+    before every re-capture, src/ui/UiFrame.cpp:286-290)."""
+    r = rng or random
+    for sph in (project.sphere1, project.sphere2):
+        sph.rotX = r.uniform(0.0, 360.0)
+        sph.rotY = r.uniform(0.0, 360.0)
+
+
+class Trainer:
+    """Host-side orchestration: owns the model, truth buffers and schedules.
+
+    ``rtx`` is any object with ``render(camera, background, samples) ->
+    (H, W, 3) array`` — the JAX path tracer in production, or a surrogate
+    (e.g. oracle renders of a target splat model) in tests.
+    """
+
+    def __init__(
+        self,
+        project: Project,
+        runtime: RuntimeConfig,
+        model: SplatModel,
+        renderer: str = "oracle",
+        row_chunk: int = 32,
+        render_fn: Optional[RenderFn] = None,
+    ):
+        self.project = project
+        self.runtime = runtime
+        self.model = model
+        self.renderer = renderer
+        self.row_chunk = row_chunk
+        self._render_fn = render_fn
+        self.truths: Optional[jax.Array] = None  # (2F, H, W, 3)
+        self.truth_cams: Optional[CameraBatch] = None
+        self.last_metrics: Optional[TrainMetrics] = None
+        self._step = make_train_step(
+            runtime.render_resolution_x,
+            runtime.render_resolution_y,
+            runtime.sh_degree,
+            renderer=renderer,
+            row_chunk=row_chunk,
+            render_fn=render_fn,
+        )
+
+    # ------------------------------------------------------------------
+    def capture_truths(self, rtx) -> None:
+        """Photograph the scene from every rig camera against white AND
+        black backgrounds (src/Trainer.cu:218-250)."""
+        w = self.runtime.render_resolution_x
+        h = self.runtime.render_resolution_y
+        cameras = Camera.get_cameras(self.project)
+        whites = [rtx.render(c, (1.0, 1.0, 1.0), self.project.rtSamples) for c in cameras]
+        blacks = [rtx.render(c, (0.0, 0.0, 0.0), self.project.rtSamples) for c in cameras]
+        self.truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
+        self.truth_cams = CameraBatch.from_cameras(cameras, w, h, train=True)
+
+    # ------------------------------------------------------------------
+    def train(self, densify_now: bool = False) -> TrainMetrics:
+        if self.truths is None:
+            raise RuntimeError("Can't run training iteration, no truth data available!")
+        self.project.iterations += 1
+        lrs = LearningRates.from_project(self.project)
+        self.model, metrics = self._step(self.model, self.truths, self.truth_cams, lrs)
+        if densify_now:
+            self.model = densify(
+                self.model,
+                metrics.var_loc,
+                metrics.avg_grad_loc,
+                DensifyParams.from_project(self.project),
+            )
+        self.last_metrics = metrics
+        return metrics
+
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        camera: Camera,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        splat_scale: float = 1.0,
+    ) -> jax.Array:
+        """Forward-only serve path: black background, aspect-scaled x-FOV
+        quirk preserved (src/Trainer.cu:148-216)."""
+        w = width or self.runtime.render_resolution_x
+        h = height or self.runtime.render_resolution_y
+        render = self._render_fn or _default_render(self.renderer, self.row_chunk)
+        tan_x, tan_y = camera.tan_fov(w, h, train=False)
+        m = self.model
+        return render(
+            m.means, m.shs, m.scales, m.opacities, m.rotations, m.active_mask(),
+            jnp.asarray(camera.get_view()), jnp.asarray(camera.get_proj_view(w / h)),
+            jnp.asarray(camera.location), tan_x, tan_y, w, h,
+            jnp.zeros(3, jnp.float32), m.sh_degree, splat_scale,
+        )

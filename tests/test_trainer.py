@@ -1,0 +1,170 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.models.splats import SplatModelHost
+from gaussian_splatterer_tpu.ops.raster_reference import render_oracle_model
+from gaussian_splatterer_tpu.ops.transforms import SH_C0
+from gaussian_splatterer_tpu.train import (
+    CameraBatch,
+    LearningRates,
+    Trainer,
+    auto_train,
+    make_train_step,
+    randomize_rig_rotations,
+)
+
+RES = 32
+
+
+class OracleRtx:
+    """Truth-source surrogate: photographs a *target* splat model with the
+    oracle renderer (stands in for the path tracer in trainer tests)."""
+
+    def __init__(self, target_model, res=RES):
+        self.target = target_model
+        self.res = res
+
+    def render(self, camera, background, samples):
+        return render_oracle_model(
+            self.target, camera, self.res, self.res, jnp.asarray(background), row_chunk=16
+        )
+
+
+def rgb_sh(rgb):
+    sh = np.zeros((4, 3), np.float32)
+    sh[0] = (np.asarray(rgb) - 0.5) / SH_C0
+    return sh
+
+
+def target_model():
+    h = SplatModelHost(16, 1, 4)
+    h.push_back([0.5, 0, 0], rgb_sh([0.9, 0.2, 0.1]), [0.4] * 3, 0.9, [1, 0, 0, 0])
+    h.push_back([-0.5, 0.3, 0], rgb_sh([0.1, 0.8, 0.3]), [0.35] * 3, 0.8, [1, 0, 0, 0])
+    return h.to_device()
+
+
+def student_model():
+    h = SplatModelHost(16, 1, 4)
+    h.push_back([0.3, 0.1, 0.1], rgb_sh([0.5, 0.5, 0.5]), [0.35] * 3, 0.7, [1, 0, 0, 0])
+    h.push_back([-0.3, 0.2, -0.1], rgb_sh([0.5, 0.5, 0.5]), [0.4] * 3, 0.7, [1, 0, 0, 0])
+    return h.to_device()
+
+
+def small_project():
+    p = Project.app_default()
+    p.sphere1.count = 4
+    p.sphere1.distance = 5.0
+    # boosted LRs so a short test converges
+    p.lrLocation = 1e-2
+    p.lrSh = 2.5e-2
+    p.lrScale = 5e-3
+    p.lrOpacity = 2.5e-2
+    p.lrRotation = 5e-3
+    return p
+
+
+def runtime():
+    return RuntimeConfig(render_resolution_x=RES, render_resolution_y=RES)
+
+
+def test_train_step_decreases_loss():
+    p = small_project()
+    trainer = Trainer(p, runtime(), student_model(), row_chunk=16)
+    trainer.capture_truths(OracleRtx(target_model()))
+    first = trainer.train()
+    for _ in range(29):
+        last = trainer.train()
+    assert p.iterations == 30
+    assert float(last.loss) < 0.5 * float(first.loss), (
+        f"loss should drop: first={float(first.loss)}, last={float(last.loss)}"
+    )
+
+
+def test_train_requires_truth():
+    trainer = Trainer(small_project(), runtime(), student_model(), row_chunk=16)
+    with pytest.raises(RuntimeError, match="no truth data"):
+        trainer.train()
+
+
+def test_perfect_model_has_near_zero_loss_and_small_grads():
+    p = small_project()
+    t = target_model()
+    trainer = Trainer(p, runtime(), t, row_chunk=16)
+    trainer.capture_truths(OracleRtx(target_model()))
+    m = trainer.train()
+    assert float(m.loss) < 1e-10
+    assert float(jnp.abs(m.avg_grad_loc).max()) < 1e-4
+
+
+def test_sgd_clamps_scale_and_opacity():
+    p = small_project()
+    p.lrScale = 1e6  # force the clamp
+    p.lrOpacity = 1e6
+    p.paramScaleMax = 0.3
+    trainer = Trainer(p, runtime(), student_model(), row_chunk=16)
+    trainer.capture_truths(OracleRtx(target_model()))
+    trainer.train()
+    scales = np.asarray(trainer.model.scales)
+    opac = np.asarray(trainer.model.opacities)
+    assert scales.min() >= 0.0 and scales.max() <= 0.3 + 1e-6
+    assert opac.min() >= 0.0 and opac.max() <= 1.0
+
+
+def test_truth_capture_shapes_and_backgrounds():
+    p = small_project()
+    trainer = Trainer(p, runtime(), student_model(), row_chunk=16)
+    trainer.capture_truths(OracleRtx(target_model()))
+    assert trainer.truths.shape == (8, RES, RES, 3)  # 4 cameras x {white, black}
+    # corners: white set ~1.0, black set ~0.0
+    whites = np.asarray(trainer.truths[:4, 0, 0])
+    blacks = np.asarray(trainer.truths[4:, 0, 0])
+    assert whites.min() > 0.9
+    assert blacks.max() < 0.1
+    assert trainer.truth_cams.num_frames == 4
+
+
+def test_randomize_rig_rotations():
+    import random
+
+    p = Project()
+    rng = random.Random(0)
+    randomize_rig_rotations(p, rng)
+    vals = [p.sphere1.rotX, p.sphere1.rotY, p.sphere2.rotX, p.sphere2.rotY]
+    assert all(0.0 <= v < 360.0 for v in vals)
+    assert len(set(vals)) == 4
+
+
+def test_auto_train_schedule_captures_and_densifies():
+    p = small_project()
+    p.intervalCapture = 5
+    p.intervalDensify = 7
+    p.paramDensifyVariance = 1e9  # keep densify a no-op structurally
+    trainer = Trainer(p, runtime(), student_model(), row_chunk=16)
+
+    captures = []
+    orig_capture = trainer.capture_truths
+
+    def counting_capture(rtx):
+        captures.append(p.iterations)
+        orig_capture(rtx)
+
+    trainer.capture_truths = counting_capture
+    rtx = OracleRtx(target_model())
+    auto_train(trainer, rtx, num_steps=12)
+    # initial capture at iter 0 + re-captures at iterations 5 and 10
+    assert captures == [0, 5, 10]
+    assert p.iterations == 12
+
+
+def test_densify_step_in_training_loop():
+    p = small_project()
+    p.paramDensifyVariance = -1.0  # everything volatile -> guaranteed densify
+    p.paramSplitSize = 0.01
+    trainer = Trainer(p, runtime(), student_model(), row_chunk=16)
+    trainer.capture_truths(OracleRtx(target_model()))
+    n0 = int(trainer.model.count)
+    trainer.train(densify_now=True)
+    assert int(trainer.model.count) == 2 * n0  # both splats split
