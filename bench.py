@@ -1,0 +1,94 @@
+"""Headline benchmark: fwd+bwd rasterize ms/frame @ 50k splats, 1024x1024.
+
+Prints ONE JSON line.  The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is measured against the reference's only quantitative
+anchor: the 100 steps/s auto-train budget (src/Config.h:10) at its default
+16-camera rig = 32 rasterize fwd+bwd frames per step, i.e. a frame budget
+of 1000/(100*32) = 0.3125 ms/frame.  vs_baseline = budget / measured
+(>1 means faster than the reference's aspirational ceiling).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
+
+W = H = 1024
+N_SPLATS = 50_000
+CAPACITY = 65_536
+MAX_DUP = 2**19
+REPS = 30
+REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
+
+
+def build_scene():
+    rng = np.random.default_rng(0)
+    means = np.zeros((CAPACITY, 3), np.float32)
+    means[:N_SPLATS] = rng.uniform(-3, 3, (N_SPLATS, 3))
+    shs = np.zeros((CAPACITY, 4, 3), np.float32)
+    shs[:N_SPLATS] = rng.normal(0, 0.5, (N_SPLATS, 4, 3))
+    scales = np.zeros((CAPACITY, 3), np.float32)
+    scales[:N_SPLATS] = rng.uniform(0.01, 0.08, (N_SPLATS, 3))
+    opac = np.zeros((CAPACITY,), np.float32)
+    opac[:N_SPLATS] = rng.uniform(0.2, 1.0, N_SPLATS)
+    rot = np.zeros((CAPACITY, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot[:N_SPLATS] = rng.normal(0, 1, (N_SPLATS, 4))
+    active = np.arange(CAPACITY) < N_SPLATS
+    cam = Camera(
+        np.array([0.3, -0.2, -10.0], np.float32), np.zeros(3, np.float32), 60.0
+    )
+    return (
+        tuple(map(jnp.asarray, (means, shs, scales, opac, rot))),
+        jnp.asarray(active),
+        jnp.asarray(cam.get_view()),
+        jnp.asarray(cam.get_proj_view(1.0)),
+        jnp.asarray(cam.location),
+        *cam.tan_fov(W, H, train=True),
+    )
+
+
+def main():
+    params, active, view, pv, pos, tan_x, tan_y = build_scene()
+    bg = jnp.zeros(3, jnp.float32)
+
+    def loss(p):
+        img = render_tiled(
+            *p, active, view, pv, pos, tan_x, tan_y, W, H, bg, 1, 1.0,
+            max_dup=MAX_DUP,
+        )
+        return jnp.sum(jnp.square(img))
+
+    fwdbwd = jax.jit(lambda p: jax.value_and_grad(loss)(p))
+
+    jax.block_until_ready(fwdbwd(params))  # compile
+    # pipelined timing: dispatch REPS steps, block once (training dispatches
+    # steps back-to-back the same way; amortizes tunnel round-trip latency)
+    t0 = time.perf_counter()
+    outs = [fwdbwd(params) for _ in range(REPS)]
+    jax.block_until_ready(outs)
+    ms_per_frame = (time.perf_counter() - t0) * 1e3 / REPS
+
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd rasterize ms/frame (50k splats, 1024x1024)",
+                "value": round(ms_per_frame, 2),
+                "unit": "ms/frame",
+                "vs_baseline": round(REFERENCE_FRAME_BUDGET_MS / ms_per_frame, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

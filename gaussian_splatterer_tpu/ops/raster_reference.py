@@ -38,9 +38,14 @@ def composite_pixels(
     pix_xy: jax.Array,  # (P, 2) float pixel coordinates
     splats: ProjectedSplats,  # depth-sorted, padded
     background: jax.Array,  # (3,)
+    tile_cull: int = 0,
 ) -> jax.Array:
     """Alpha-composite all splats into P pixels. Splats MUST be sorted
-    front-to-back (ascending depth) with invalid entries pushed to the end."""
+    front-to-back (ascending depth) with invalid entries pushed to the end.
+
+    ``tile_cull > 0`` emulates the tile-granular splat cutoff of the binned
+    fast path (a splat only touches pixels whose tile intersects its
+    radius-based tile AABB) — the INRIA-reference semantic."""
     d = pix_xy[:, None, :] - splats.mean2d[None, :, :]  # (P, N, 2)
     dx, dy = d[..., 0], d[..., 1]
     conic = splats.conic
@@ -50,6 +55,22 @@ def composite_pixels(
     )
     alpha = jnp.minimum(ALPHA_MAX, splats.opacity[None, :] * jnp.exp(power))
     contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & splats.valid[None, :]
+    if tile_cull:
+        from gaussian_splatterer_tpu.ops.binning import tile_aabb
+
+        big = 1 << 20  # unclipped tile grid; clipping happens via pixel coords
+        x0, y0, x1, y1 = tile_aabb(
+            jax.lax.stop_gradient(splats.mean2d[:, 0]),
+            jax.lax.stop_gradient(splats.mean2d[:, 1]),
+            jax.lax.stop_gradient(splats.radius),
+            tile_cull, big, big,
+        )
+        ptx = (pix_xy[:, 0:1] // tile_cull).astype(jnp.int32)  # (P, 1)
+        pty = (pix_xy[:, 1:2] // tile_cull).astype(jnp.int32)
+        contrib = contrib & (
+            (ptx >= x0[None, :]) & (ptx < x1[None, :])
+            & (pty >= y0[None, :]) & (pty < y1[None, :])
+        )
     a = jnp.where(contrib, alpha, 0.0)
 
     logs = jnp.log1p(-a)
@@ -91,11 +112,13 @@ def render_oracle(
     sh_degree: int,
     scale_mod=1.0,
     row_chunk: int = 32,
+    tile_cull: int = 0,
 ) -> jax.Array:
     """Render (H, W, 3) float32. Differentiable w.r.t. all splat params.
 
     ``row_chunk`` rows of pixels are processed per scan step to bound the
-    (P, N) intermediate to row_chunk*W*N floats.
+    (P, N) intermediate to row_chunk*W*N floats.  ``tile_cull`` emulates the
+    fast path's tile-granular cutoff (see composite_pixels).
     """
     splats = project_splats(
         means, shs, scales, opacities, rotations, active,
@@ -112,7 +135,9 @@ def render_oracle(
         ys = y0 + jnp.arange(row_chunk, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(xs, ys)  # (row_chunk, W)
         pix = jnp.stack([gx.ravel(), gy.ravel()], -1)
-        return composite_pixels(pix, splats, background).reshape(row_chunk, width, 3)
+        return composite_pixels(pix, splats, background, tile_cull).reshape(
+            row_chunk, width, 3
+        )
 
     y0s = jnp.arange(0, height, row_chunk, dtype=jnp.float32)
     rows = jax.lax.map(render_rows, y0s)  # (H/rc, rc, W, 3)

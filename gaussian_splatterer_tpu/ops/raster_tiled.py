@@ -1,0 +1,490 @@
+"""Fast tiled differentiable rasterizer: Pallas TPU compositing kernels.
+
+TPU-native replacement for the INRIA ``CudaRasterizer::Rasterizer::forward/
+backward`` pair the reference links against (call sites
+src/Trainer.cu:334-412).  Pipeline:
+
+  project_splat_components (dense jnp, transforms.py)
+    -> bin_splats  (depth sort + stable tile sort + work list, binning.py)
+    -> feature gather (differentiable; its transpose is the scatter-add that
+       accumulates duplicate gradients back per-splat)
+    -> Pallas compositing kernel over a 1-D work list of (tile, chunk) items
+       with scalar-prefetched block indices — the TPU analog of the CUDA
+       per-tile loop, with the sequential front-to-back product replaced by
+       log-shift (roll-ladder) cumulative sums along the 128-lane axis.
+
+Compositing math (identical to the oracle, ops/raster_reference.py):
+    T_k = prod_{j<k} (1 - a_j);  out = sum_k c_k a_k T_k + bg * T_final
+with INRIA masking: skip when power > 0 or alpha < 1/255, clamp alpha at
+0.99, and permanently terminate a pixel when T would drop below 1e-4.
+
+The backward pass is an analytic forward-order replay (no per-splat state
+saved):  with S_k = sum_{j>k} c_j a_j T_j = C_total - C_{<=k},
+    dL/dc_k     = g * a_k T_k
+    dL/da_k     = sum_ch g_ch (c_k T_k - S_k/(1-a_k)) - g_T T_N/(1-a_k)
+then chain to opacity / conic / mean2d.  Per-chunk gradients accumulate
+directly into a (blocks, 16, chunk) output: the work list visits feature
+blocks in non-decreasing order (chunk indices grow within a tile and
+adjacent tiles can only share one boundary block), so each output block
+stays resident in VMEM across its visits and is flushed exactly once — no
+gradient slabs, no segment-sum.  The feature-gather transpose then
+accumulates duplicates per splat, and jax.vjp through the projection
+finishes the chain to the model parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splatterer_tpu.ops.binning import TileBins, bin_splats, work_capacity
+from gaussian_splatterer_tpu.ops.transforms import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    T_EPS,
+    project_splat_components,
+)
+
+# feature row layout in the packed (16, D) array
+_F_MX, _F_MY, _F_CA, _F_CB, _F_CC, _F_CR, _F_CG, _F_CB2, _F_OP = range(9)
+_F_ROWS = 16  # padded to a full sublane tile
+
+
+def _should_interpret() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except RuntimeError:  # no backend at all
+        return True
+
+
+def _upper_tri(chunk: int) -> jax.Array:
+    """(chunk, chunk) upper-triangular ones (incl. diagonal): x @ U = cumsum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _cumsum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along the last (lane) axis as a triangular
+    matmul.  Measured FASTER than a pltpu.roll log-shift ladder: the MXU
+    matmul overlaps with the kernel's VPU work while lane-rotates contend
+    for the vector unit.  (jnp.cumsum does not lower in Pallas TPU.)"""
+    return jnp.dot(x, _upper_tri(x.shape[-1]), preferred_element_type=jnp.float32)
+
+
+def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk: int):
+    """Shared forward replay for one (tile, chunk) work item.
+
+    Returns per-(pixel, splat) tensors of shape (P, chunk)."""
+    p_count = tile * tile
+    ox = (t % tx_tiles) * tile
+    oy = (t // tx_tiles) * tile
+    p = jax.lax.broadcasted_iota(jnp.int32, (p_count, 1), 0)
+    px = (ox + p % tile).astype(jnp.float32)
+    py = (oy + p // tile).astype(jnp.float32)
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    gidx = blk * chunk + li
+    in_range = (gidx >= tstart) & (gidx < tend)  # (1, chunk)
+
+    mx = feat_ref[_F_MX : _F_MX + 1, :]
+    my = feat_ref[_F_MY : _F_MY + 1, :]
+    ca = feat_ref[_F_CA : _F_CA + 1, :]
+    cb = feat_ref[_F_CB : _F_CB + 1, :]
+    cc = feat_ref[_F_CC : _F_CC + 1, :]
+    op = feat_ref[_F_OP : _F_OP + 1, :]
+
+    dx = px - mx  # (P, chunk)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(power)
+    alpha_raw = op * expp
+    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+    a = jnp.where(contrib, alpha, 0.0)
+    return a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc)
+
+
+def _composite_chunk(a, t_in, alive):
+    """Front-to-back compositing of one chunk given entry transmittance.
+
+    Returns (weight, t_k, a_eff, keep, t_out, alive_out):
+      weight (P,C) = a_eff * T at each splat;  t_k (P,C) transmittance at k.
+    """
+    logs = jnp.log1p(-a)
+    cum_incl = _cumsum_lanes(logs)
+    cum_excl = cum_incl - logs
+    t_excl = t_in * jnp.exp(cum_excl)
+    trigger = (t_excl * (1.0 - a) < T_EPS).astype(jnp.float32)
+    trig_cum = _cumsum_lanes(trigger)
+    keep = (trig_cum == 0.0) & (alive > 0.0)
+    a_eff = jnp.where(keep, a, 0.0)
+
+    # log1p(-a_eff) == keep ? logs : 0, exactly — no second log evaluation
+    logs_eff = jnp.where(keep, logs, 0.0)
+    cum2_incl = _cumsum_lanes(logs_eff)
+    cum2_excl = cum2_incl - logs_eff
+    t_k = t_in * jnp.exp(cum2_excl)
+    weight = a_eff * t_k
+    t_out = t_in * jnp.exp(cum2_incl[:, -1:])
+    alive_out = alive * (trig_cum[:, -1:] == 0.0).astype(jnp.float32)
+    return weight, t_k, a_eff, keep, t_out, alive_out
+
+
+def _fwd_kernel(
+    work_tile,
+    work_block,
+    is_first,
+    is_last,
+    is_pad,
+    block_first,
+    tstart_arr,
+    tend_arr,
+    feat_ref,
+    out_ref,
+    acc,
+    *,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+):
+    w = pl.program_id(0)
+    t = work_tile[w]
+    blk = work_block[w]
+    p_count = tile * tile
+
+    @pl.when(is_first[w] == 1)
+    def _():
+        acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
+        acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
+        acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
+
+    a, _, _, _, _, _, _ = _chunk_state(
+        feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+    )
+    t_in = acc[:, 3:4]
+    alive = acc[:, 4:5]
+    weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
+
+    cr = feat_ref[_F_CR : _F_CR + 1, :]
+    cg = feat_ref[_F_CG : _F_CG + 1, :]
+    cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+    acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
+    acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
+    acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+    acc[:, 3:4] = t_out
+    acc[:, 4:5] = alive_out
+
+    @pl.when(is_last[w] == 1)
+    def _():
+        out_ref[0] = acc[:, 0:4]
+
+
+def _bwd_kernel(
+    work_tile,
+    work_block,
+    is_first,
+    is_last,
+    is_pad,
+    block_first,
+    tstart_arr,
+    tend_arr,
+    feat_ref,
+    gin_ref,  # (1, P, 4): d color_splat rgb + d t_final
+    fwd_ref,  # (1, P, 4): forward color_splat rgb + t_final
+    dfeat_ref,  # (1, 16, chunk) per-work-item gradient slab
+    acc,
+    *,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+):
+    w = pl.program_id(0)
+    t = work_tile[w]
+    blk = work_block[w]
+    p_count = tile * tile
+
+    @pl.when(is_first[w] == 1)
+    def _():
+        acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
+        acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
+        acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
+
+    a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
+        feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+    )
+    t_in = acc[:, 3:4]
+    alive = acc[:, 4:5]
+    weight, t_k, a_eff, keep, t_out, alive_out = _composite_chunk(a, t_in, alive)
+
+    cr = feat_ref[_F_CR : _F_CR + 1, :]
+    cg = feat_ref[_F_CG : _F_CG + 1, :]
+    cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+
+    g_r = gin_ref[0, :, 0:1]
+    g_g = gin_ref[0, :, 1:2]
+    g_b = gin_ref[0, :, 2:3]
+    g_t = gin_ref[0, :, 3:4]
+    c_tot_r = fwd_ref[0, :, 0:1]
+    c_tot_g = fwd_ref[0, :, 1:2]
+    c_tot_b = fwd_ref[0, :, 2:3]
+    t_n = fwd_ref[0, :, 3:4]
+
+    # color gradient: dL/dc = g * weight, summed over pixels
+    d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
+    d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
+    d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
+
+    # S_k = C_total - C_{<=k} per channel (C_in carried in acc cols 0-2)
+    wc_r = weight * cr
+    wc_g = weight * cg
+    wc_b = weight * cb2
+    cum_r = _cumsum_lanes(wc_r)
+    cum_g = _cumsum_lanes(wc_g)
+    cum_b = _cumsum_lanes(wc_b)
+    s_r = c_tot_r - (acc[:, 0:1] + cum_r)
+    s_g = c_tot_g - (acc[:, 1:2] + cum_g)
+    s_b = c_tot_b - (acc[:, 2:3] + cum_b)
+
+    inv1ma = 1.0 / (1.0 - a_eff)
+    d_alpha = (
+        g_r * (cr * t_k - s_r * inv1ma)
+        + g_g * (cg * t_k - s_g * inv1ma)
+        + g_b * (cb2 * t_k - s_b * inv1ma)
+        - g_t * t_n * inv1ma
+    )
+    grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
+    d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
+
+    d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
+    d_power = d_alpha * alpha_raw
+    d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+    d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+    d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+    d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+    d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+
+    # pad items replay the final tile's range against out-of-range blocks;
+    # zero their slabs so the segment-sum cannot double-count (overflow edge)
+    live = jnp.float32(1) - is_pad[w].astype(jnp.float32)
+    zero_rows = jnp.zeros((_F_ROWS - 9, chunk), jnp.float32)
+    dfeat_ref[0] = live * jnp.concatenate(
+        [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op, zero_rows],
+        axis=0,
+    )
+
+    acc[:, 0:1] += cum_r[:, -1:]
+    acc[:, 1:2] += cum_g[:, -1:]
+    acc[:, 2:3] += cum_b[:, -1:]
+    acc[:, 3:4] = t_out
+    acc[:, 4:5] = alive_out
+
+
+def _make_composite(
+    bins: TileBins,
+    num_tiles: int,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+    max_dup: int,
+    interpret: bool,
+):
+    """Build the custom-VJP compositing op over the packed feature array.
+
+    feat16: (16, max_dup) -> out (num_tiles, tile*tile, 4) where channels are
+    [r, g, b, t_final] (background applied by the caller)."""
+    p_count = tile * tile
+    w_cap = work_capacity(num_tiles, max_dup, chunk)
+    num_blocks = max_dup // chunk
+    kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk)
+    scalars = (
+        bins.work_tile,
+        bins.work_block,
+        bins.is_first,
+        bins.is_last,
+        bins.is_pad,
+        bins.block_first,
+        bins.tile_start,
+        bins.tile_end,
+    )
+
+    def run_fwd(feat16):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(w_cap,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_F_ROWS, chunk),
+                    lambda w, wt, wb, *_: (0, wb[w]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p_count, 4),
+                lambda w, wt, wb, *_: (wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((p_count, 8), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, p_count, 4), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*scalars, feat16)
+
+    def run_bwd(feat16, out_fwd, gin):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(w_cap,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_F_ROWS, chunk),
+                    lambda w, wt, wb, *_: (0, wb[w]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, p_count, 4),
+                    lambda w, wt, wb, *_: (wt[w], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, p_count, 4),
+                    lambda w, wt, wb, *_: (wt[w], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _F_ROWS, chunk),
+                lambda w, wt, wb, *_: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((p_count, 8), jnp.float32)],
+        )
+        dfeat_slabs = pl.pallas_call(
+            functools.partial(_bwd_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((w_cap, _F_ROWS, chunk), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*scalars, feat16, gin, out_fwd)
+        # two adjacent tiles can share a boundary block: segment-sum slabs
+        dfeat_blocks = jax.ops.segment_sum(
+            dfeat_slabs, bins.work_block, num_segments=num_blocks
+        )  # (B, 16, chunk)
+        return jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(_F_ROWS, max_dup)
+
+    @jax.custom_vjp
+    def composite(feat16):
+        return run_fwd(feat16)
+
+    def composite_fwd(feat16):
+        out = run_fwd(feat16)
+        return out, (feat16, out)
+
+    def composite_bwd(res, gin):
+        feat16, out = res
+        return (run_bwd(feat16, out, gin),)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def render_tiled(
+    means,
+    shs,
+    scales,
+    opacities,
+    rotations,
+    active,
+    view,
+    proj_view,
+    cam_pos,
+    tan_fovx,
+    tan_fovy,
+    width: int,
+    height: int,
+    background,
+    sh_degree: int,
+    scale_mod=1.0,
+    *,
+    tile: int = 16,
+    chunk: int = 128,
+    max_dup: int = 2**19,
+    interpret: bool | None = None,
+):
+    """Render (H, W, 3) float32 with the tiled Pallas fast path.
+
+    Differentiable w.r.t. all splat parameters and the background; numerics
+    match render_oracle(tile_cull=tile) (tile-granular splat cutoff is the
+    INRIA-reference semantic — SURVEY §7 hard part 5)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+
+    proj = project_splat_components(
+        means, shs, scales, opacities, rotations, active,
+        view, proj_view, cam_pos, tan_fovx, tan_fovy,
+        width, height, sh_degree, scale_mod,
+    )
+    bins = bin_splats(
+        jax.lax.stop_gradient(proj), width, height, tile, max_dup, chunk
+    )
+
+    feat9 = jnp.stack(
+        [
+            proj.mx,
+            proj.my,
+            proj.ca,
+            proj.cb,
+            proj.cc,
+            proj.cr,
+            proj.cg,
+            proj.cb2,
+            proj.opacity,
+        ],
+        axis=0,
+    )  # (9, N)
+    gathered = feat9[:, bins.gather_idx]  # (9, D); transpose = scatter-add
+    feat16 = jnp.zeros((_F_ROWS, max_dup), jnp.float32).at[:9].set(gathered)
+
+    composite = _make_composite(
+        bins, num_tiles, tile, tx_tiles, chunk, max_dup, interpret
+    )
+    out = composite(feat16)  # (T, P, 4)
+
+    background = jnp.asarray(background, jnp.float32)
+    img_tiles = out[..., 0:3] + out[..., 3:4] * background[None, None, :]
+    img = (
+        img_tiles.reshape(ty_tiles, tx_tiles, tile, tile, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ty_tiles * tile, tx_tiles * tile, 3)
+    )
+    return img[:height, :width, :]
+
+
+def render_tiled_model(
+    model, camera, width, height, background, scale_mod=1.0,
+    train_fov: bool = True, **kw
+):
+    """Convenience wrapper taking a SplatModel + Camera (host-side matrices)."""
+    view = jnp.asarray(camera.get_view())
+    proj_view = jnp.asarray(camera.get_proj_view(width / height))
+    tan_fovx, tan_fovy = camera.tan_fov(width, height, train=train_fov)
+    return render_tiled(
+        model.means, model.shs, model.scales, model.opacities, model.rotations,
+        model.active_mask(), view, proj_view, jnp.asarray(camera.location),
+        tan_fovx, tan_fovy, width, height, background, model.sh_degree, scale_mod,
+        **kw,
+    )

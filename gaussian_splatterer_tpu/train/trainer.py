@@ -228,12 +228,23 @@ class Trainer:
     # ------------------------------------------------------------------
     def capture_truths(self, rtx) -> None:
         """Photograph the scene from every rig camera against white AND
-        black backgrounds (src/Trainer.cu:218-250)."""
+        black backgrounds (src/Trainer.cu:218-250).
+
+        ``rtx.render(camera, background, samples[, width, height])`` — the
+        resolution args are passed when the renderer accepts them (the JAX
+        path tracer does; simple test surrogates may bake their own)."""
         w = self.runtime.render_resolution_x
         h = self.runtime.render_resolution_y
         cameras = Camera.get_cameras(self.project)
-        whites = [rtx.render(c, (1.0, 1.0, 1.0), self.project.rtSamples) for c in cameras]
-        blacks = [rtx.render(c, (0.0, 0.0, 0.0), self.project.rtSamples) for c in cameras]
+
+        def shoot(c, bg):
+            try:
+                return rtx.render(c, bg, self.project.rtSamples, w, h)
+            except TypeError:
+                return rtx.render(c, bg, self.project.rtSamples)
+
+        whites = [shoot(c, (1.0, 1.0, 1.0)) for c in cameras]
+        blacks = [shoot(c, (0.0, 0.0, 0.0)) for c in cameras]
         self.truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
         self.truth_cams = CameraBatch.from_cameras(cameras, w, h, train=True)
 

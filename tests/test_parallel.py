@@ -1,0 +1,78 @@
+"""Camera-DP train step on the 8-virtual-device CPU mesh (SURVEY §4
+'Distributed'): sharded step must agree with the single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+
+from gaussian_splatterer_tpu.config import Project
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.models.splats import SplatModelHost
+from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+from gaussian_splatterer_tpu.parallel.dp import (
+    make_camera_mesh,
+    make_dp_train_step,
+    shard_truths,
+)
+from gaussian_splatterer_tpu.train.trainer import (
+    CameraBatch,
+    LearningRates,
+    make_train_step,
+)
+
+W = H = 32
+
+
+def build_scene(n_splats=24, cap=64, n_cams=4, seed=0):
+    rng = np.random.default_rng(seed)
+    m = SplatModelHost(cap)
+    for _ in range(n_splats):
+        m.push_back(
+            rng.uniform(-1.5, 1.5, 3), rng.normal(0, 0.3, (4, 3)),
+            rng.uniform(0.1, 0.4, 3), rng.uniform(0.3, 1.0), [1, 0, 0, 0],
+        )
+    model = m.to_device()
+    proj = Project()
+    proj.sphere1.count = n_cams
+    proj.sphere2.count = 0
+    cameras = Camera.get_cameras(proj)
+    cams = CameraBatch.from_cameras(cameras, W, H)
+    truths = jnp.asarray(
+        rng.uniform(0, 1, (2 * n_cams, H, W, 3)).astype(np.float32)
+    )
+    return model, cams, truths
+
+
+def test_dp_matches_single_device():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    model, cams, truths = build_scene()
+    lrs = LearningRates.from_project(Project())
+
+    render = partial(render_oracle, row_chunk=8)
+    single = make_train_step(W, H, 1, render_fn=render, row_chunk=8)
+    m1, met1 = single(model, truths, cams, lrs)
+
+    mesh = make_camera_mesh(jax.devices()[:8])
+    dp = make_dp_train_step(mesh, W, H, 1, render_fn=render)
+    truths_sharded = shard_truths(mesh, truths)
+    m2, met2 = dp(model, truths_sharded, cams, lrs)
+
+    np.testing.assert_allclose(np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_tiled_renderer_runs():
+    """Sharded step with the Pallas (interpret-mode) tiled renderer."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
+
+    model, cams, truths = build_scene(n_splats=12, cap=32, n_cams=4)
+    lrs = LearningRates.from_project(Project())
+    mesh = make_camera_mesh(jax.devices()[:8])
+    render = partial(render_tiled, max_dup=2**10, interpret=True)
+    dp = make_dp_train_step(mesh, W, H, 1, render_fn=render)
+    m2, met2 = dp(model, shard_truths(mesh, truths), cams, lrs)
+    assert np.isfinite(float(met2.loss))
+    assert np.all(np.isfinite(np.asarray(m2.means)))

@@ -1,0 +1,150 @@
+"""Tiled Pallas rasterizer vs oracle: forward allclose + backward gradients.
+
+BASELINE config 1 analog: small splat sets, small images, CPU (interpret
+mode), exact numerics against the oracle with tile-granular culling enabled
+(the binned fast path's semantic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
+
+W = H = 64
+TILE = 16
+
+
+def random_splats(n, seed=0, cap=None):
+    rng = np.random.default_rng(seed)
+    cap = cap or n
+    means = np.zeros((cap, 3), np.float32)
+    means[:n] = rng.uniform(-2.5, 2.5, (n, 3))
+    shs = np.zeros((cap, 4, 3), np.float32)
+    shs[:n] = rng.normal(0, 0.5, (n, 4, 3))
+    scales = np.zeros((cap, 3), np.float32)
+    scales[:n] = rng.uniform(0.05, 0.45, (n, 3))
+    opac = np.zeros((cap,), np.float32)
+    opac[:n] = rng.uniform(0.2, 1.0, n)
+    rot = np.zeros((cap, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot[:n] = rng.normal(0, 1, (n, 4))
+    active = np.arange(cap) < n
+    return (
+        jnp.asarray(means), jnp.asarray(shs), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(rot), jnp.asarray(active),
+    )
+
+
+def cam_args(fov=60.0, dist=8.0):
+    cam = Camera(
+        np.array([0.3, -0.2, -dist], np.float32),
+        np.zeros(3, np.float32),
+        fov,
+    )
+    view = jnp.asarray(cam.get_view())
+    pv = jnp.asarray(cam.get_proj_view(W / H))
+    tx, ty = cam.tan_fov(W, H, train=True)
+    return view, pv, jnp.asarray(cam.location), tx, ty
+
+
+def both_renders(n_splats, seed, bg, max_dup=2**13):
+    params = random_splats(n_splats, seed)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.asarray(bg, jnp.float32)
+    img_o = render_oracle(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        row_chunk=16, tile_cull=TILE,
+    )
+    img_t = render_tiled(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        tile=TILE, chunk=128, max_dup=max_dup, interpret=True,
+    )
+    return img_o, img_t
+
+
+@pytest.mark.parametrize("n,seed", [(1, 0), (7, 1), (64, 2), (200, 3)])
+def test_forward_allclose(n, seed):
+    img_o, img_t = both_renders(n, seed, (0.0, 0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-5)
+
+
+def test_forward_white_bg():
+    img_o, img_t = both_renders(50, 5, (1.0, 1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-5)
+
+
+def test_empty_model_is_background():
+    params = random_splats(0, 0, cap=8)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    img = render_tiled(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        tile=TILE, max_dup=2**10, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.broadcast_to(bg, (H, W, 3)), atol=1e-6)
+
+
+def test_gradients_match_oracle():
+    means, shs, scales, opac, rot, active = random_splats(40, 7)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    residual = jnp.asarray(
+        np.random.default_rng(11).normal(0, 1, (H, W, 3)), jnp.float32
+    )
+
+    def loss_with(render, **kw):
+        def f(p):
+            means_, shs_, scales_, opac_, rot_ = p
+            img = render(
+                means_, shs_, scales_, opac_, rot_, active,
+                view, pv, pos, tx, ty, W, H, bg, 1, 1.0, **kw,
+            )
+            return jnp.sum(img * residual)
+        return jax.grad(f)((means, shs, scales, opac, rot))
+
+    g_o = loss_with(render_oracle, row_chunk=16, tile_cull=TILE)
+    g_t = loss_with(render_tiled, tile=TILE, max_dup=2**13, interpret=True)
+    names = ["means", "shs", "scales", "opacities", "rotations"]
+    for name, a, b in zip(names, g_t, g_o):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            atol=5e-5, err_msg=f"gradient mismatch: {name}",
+        )
+
+
+def test_gradient_background():
+    params = random_splats(20, 9)
+    view, pv, pos, tx, ty = cam_args()
+
+    def f_t(bg):
+        return jnp.mean(
+            render_tiled(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                         tile=TILE, max_dup=2**12, interpret=True)
+        )
+
+    def f_o(bg):
+        return jnp.mean(
+            render_oracle(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                          row_chunk=16, tile_cull=TILE)
+        )
+
+    bg = jnp.asarray([0.3, 0.6, 0.9], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_t)(bg)), np.asarray(jax.grad(f_o)(bg)), atol=1e-5
+    )
+
+
+def test_overflow_reported():
+    """Duplicate-buffer overflow drops trailing (deepest) splats but stays sound."""
+    params = random_splats(200, 3)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.zeros(3, jnp.float32)
+    img = render_tiled(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        tile=TILE, max_dup=128, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(img)))
