@@ -29,6 +29,16 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compile cache by default (first Pallas compiles are slow,
+# especially through remote-device tunnels). Opt out: GSPLAT_TPU_NO_CACHE=1.
+if not _os.environ.get("GSPLAT_TPU_NO_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_gsplat"),
+    )
+
 from gaussian_splatterer_tpu.config import Project, CameraSphere, RuntimeConfig  # noqa: F401
 from gaussian_splatterer_tpu.models.splats import SplatModel, SplatModelHost  # noqa: F401
 from gaussian_splatterer_tpu.models.camera import Camera  # noqa: F401

@@ -1,0 +1,166 @@
+"""Command-line interface — the headless replacement for the reference GUI.
+
+The reference is a wxWidgets desktop app (SURVEY §2.3: GUI out of scope,
+behaviors move into the framework API); this CLI exposes the same workflow:
+
+    gsplat-tpu new PROJECT_DIR [--obj model.obj --texture tex.png]
+    gsplat-tpu train PROJECT_DIR --steps N [--renderer tiled|oracle]
+    gsplat-tpu render PROJECT_DIR OUT.png [--mode splats|rtx] [--size WxH]
+    gsplat-tpu info PROJECT_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+
+
+def _make_session(args, require: bool = False):
+    from gaussian_splatterer_tpu.app.session import Session
+
+    runtime = RuntimeConfig()
+    if getattr(args, "resolution", None):
+        runtime.render_resolution_x = runtime.render_resolution_y = args.resolution
+    if getattr(args, "capacity", None):
+        runtime.splats_capacity = args.capacity
+    if getattr(args, "max_dup", None):
+        runtime.max_dup = args.max_dup
+    else:
+        # scale the binning buffer with the scene: ~128 duplicate slots per
+        # tile plus one per splat of capacity, rounded up to a power of two
+        tiles = (runtime.render_resolution_x // runtime.tile_px) * (
+            runtime.render_resolution_y // runtime.tile_px
+        )
+        want = max(2**12, tiles * 128 + runtime.splats_capacity)
+        runtime.max_dup = 1 << (want - 1).bit_length()
+    session = Session(runtime=runtime, renderer=getattr(args, "renderer", "tiled"))
+    directory = args.project
+    settings = os.path.join(directory, "settings.json")
+    if os.path.exists(settings):
+        session.load_project(directory)
+    elif require:
+        raise SystemExit(f"no project at {directory} (missing {settings})")
+    return session
+
+
+def cmd_new(args):
+    session = _make_session(args)
+    if args.obj:
+        session.load_model_obj(args.obj)
+    if args.texture:
+        session.load_texture(args.texture)
+    if args.init_field:
+        session.init_field(args.init_field)
+    session.save_project(args.project)
+    print(f"created project at {args.project}")
+
+
+def cmd_train(args):
+    session = _make_session(args, require=True)
+    if session.rtx.mesh is None:
+        raise SystemExit("project has no OBJ model; run `new --obj` first")
+    t0 = time.time()
+    last = {"it": session.project.iterations}
+
+    def on_step(it, metrics):
+        if it % args.log_every == 0:
+            rate = (it - last["it"]) / max(time.time() - t0, 1e-9)
+            print(
+                f"iter {it}  loss {float(metrics.loss):.6f}  "
+                f"splats {int(session.model.count)}  {rate:.1f} steps/s",
+                flush=True,
+            )
+
+    session.auto_train(args.steps, on_step=on_step)
+    session.save_project(args.project)
+    print(f"trained {args.steps} steps in {time.time()-t0:.1f}s; saved")
+
+
+def cmd_render(args):
+    session = _make_session(args, require=True)
+    w, h = (int(x) for x in args.size.split("x")) if args.size else (None, None)
+    if args.mode == "splats":
+        session.export_splats_png(args.output, w, h)
+    else:
+        session.export_rtx_png(args.output, w, h, samples=args.samples)
+    print(f"wrote {args.output}")
+
+
+def cmd_info(args):
+    session = _make_session(args, require=True)
+    p = session.project
+    print(
+        json.dumps(
+            {
+                "iterations": p.iterations,
+                "splats": int(session.model.count),
+                "capacity": session.model.capacity,
+                "cameras": p.num_cameras,
+                "model_obj": p.pathModel,
+                "texture": p.pathTextureDiffuse,
+                "lr": {
+                    "location": p.lrLocation,
+                    "sh": p.lrSh,
+                    "scale": p.lrScale,
+                    "opacity": p.lrOpacity,
+                    "rotation": p.lrRotation,
+                },
+            },
+            indent=2,
+        )
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gsplat-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_new = sub.add_parser("new", help="create a project directory")
+    p_new.add_argument("project")
+    p_new.add_argument("--obj", help="OBJ mesh to trace as truth")
+    p_new.add_argument("--texture", help="diffuse texture (PNG/TGA/JPG)")
+    p_new.add_argument("--init-field", choices=["grid", "mono", "model"],
+                       default="grid")
+    p_new.add_argument("--resolution", type=int)
+    p_new.add_argument("--capacity", type=int)
+    p_new.add_argument("--max-dup", type=int, dest="max_dup")
+    p_new.set_defaults(fn=cmd_new)
+
+    p_tr = sub.add_parser("train", help="run auto-training")
+    p_tr.add_argument("project")
+    p_tr.add_argument("--steps", type=int, default=200)
+    p_tr.add_argument("--renderer", choices=["tiled", "oracle"], default="tiled")
+    p_tr.add_argument("--resolution", type=int)
+    p_tr.add_argument("--capacity", type=int)
+    p_tr.add_argument("--max-dup", type=int, dest="max_dup")
+    p_tr.add_argument("--log-every", type=int, default=10)
+    p_tr.set_defaults(fn=cmd_train)
+
+    p_re = sub.add_parser("render", help="export a PNG")
+    p_re.add_argument("project")
+    p_re.add_argument("output")
+    p_re.add_argument("--mode", choices=["splats", "rtx"], default="splats")
+    p_re.add_argument("--size", help="WxH, e.g. 1024x1024")
+    p_re.add_argument("--samples", type=int)
+    p_re.add_argument("--renderer", choices=["tiled", "oracle"], default="tiled")
+    p_re.add_argument("--resolution", type=int)
+    p_re.add_argument("--capacity", type=int)
+    p_re.add_argument("--max-dup", type=int, dest="max_dup")
+    p_re.set_defaults(fn=cmd_render)
+
+    p_in = sub.add_parser("info", help="print project summary")
+    p_in.add_argument("project")
+    p_in.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""Headless application session — the framework equivalent of the wx GUI
+orchestrator (reference src/ui/UiFrame.{h,cpp}).
+
+Owns the Project settings, the ray-traced truth scene (RtxHost), the
+Trainer, and the current splat model; provides every behavior the GUI
+hosted — field initializers, truth capture, auto-training with the
+capture/densify cadence, project save/load (settings.json + splats.gobj in
+a directory, src/ui/UiFrame.cpp:452-532), and still-image export
+(src/ui/tools/UiPanelToolsView.cpp:112-141,227-259)."""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+from gaussian_splatterer_tpu.io.gobj import load_gobj, save_gobj
+from gaussian_splatterer_tpu.io.image import save_png
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.models.splats import (
+    SplatModelHost,
+    init_field_grid,
+    init_field_model,
+    init_field_mono,
+)
+from gaussian_splatterer_tpu.rt import RtxHost
+from gaussian_splatterer_tpu.train.schedule import auto_train
+from gaussian_splatterer_tpu.train.trainer import Trainer
+from gaussian_splatterer_tpu.utils.metrics import MetricsLogger
+
+SETTINGS_FILE = "settings.json"
+SPLATS_FILE = "splats.gobj"
+
+
+class Session:
+    """Project + scene + trainer, headless (reference UiFrame)."""
+
+    def __init__(
+        self,
+        project: Optional[Project] = None,
+        runtime: Optional[RuntimeConfig] = None,
+        renderer: str = "tiled",
+        rng: Optional[random.Random] = None,
+    ):
+        self.project = project or Project.app_default()
+        self.runtime = runtime or RuntimeConfig()
+        self.renderer = renderer
+        self.rng = rng or random.Random()
+        self.rtx = RtxHost()
+        self.logger = MetricsLogger()
+        # boot field: the reference starts on the 17^3 grid
+        # (src/ui/UiFrame.cpp:67); fall back to mono under tiny capacities
+        init = init_field_grid if self.runtime.splats_capacity >= 17**3 else init_field_mono
+        model = init(
+            self.runtime.splats_capacity, self.runtime.sh_degree, self.runtime.sh_coeffs
+        ).to_device()
+        self.trainer = Trainer(self.project, self.runtime, model, renderer=renderer)
+
+    # -- scene ----------------------------------------------------------
+    @property
+    def model(self):
+        return self.trainer.model
+
+    @model.setter
+    def model(self, m):
+        self.trainer.model = m
+
+    def load_model_obj(self, path: str, progress=None) -> None:
+        self.rtx.load_model(path, progress)
+        self.project.pathModel = path
+
+    def load_texture(self, path: str) -> None:
+        self.rtx.load_texture_diffuse(path)
+        self.project.pathTextureDiffuse = path
+
+    # -- field initializers (reference src/ui/UiFrame.cpp:137-264) ------
+    def init_field(self, kind: str) -> None:
+        rt = self.runtime
+        if kind == "grid":
+            host = init_field_grid(rt.splats_capacity, rt.sh_degree, rt.sh_coeffs)
+        elif kind == "mono":
+            host = init_field_mono(rt.splats_capacity, rt.sh_degree, rt.sh_coeffs)
+        elif kind == "model":
+            if self.rtx.mesh is None:
+                raise RuntimeError("init_field('model') requires a loaded OBJ")
+            host = init_field_model(
+                self.rtx.mesh.vertices, self.rtx.mesh.triangles,
+                rt.splats_capacity, rt.sh_degree, rt.sh_coeffs,
+            )
+        else:
+            raise ValueError(f"unknown field initializer {kind!r}")
+        self.model = host.to_device()
+        self.project.iterations = 0
+
+    # -- training -------------------------------------------------------
+    def capture(self) -> None:
+        self.trainer.capture_truths(self.rtx)
+
+    def train(self, steps: int = 1, densify: bool = False):
+        for _ in range(steps):
+            metrics = self.trainer.train(densify_now=densify)
+        return metrics
+
+    def auto_train(self, steps: int, on_step=None, rate_limit=None) -> None:
+        """Reference auto-train loop: randomized re-capture every
+        intervalCapture iters, densify every intervalDensify."""
+
+        def log_step(it, metrics):
+            self.logger.log_step(
+                it, float(metrics.loss), int(self.model.count)
+            )
+            if on_step is not None:
+                on_step(it, metrics)
+
+        auto_train(
+            self.trainer, self.rtx, steps, rng=self.rng,
+            on_step=log_step, rate_limit=rate_limit,
+        )
+
+    # -- project persistence (reference src/ui/UiFrame.cpp:323-450) -----
+    def save_project(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        self.save_settings(os.path.join(directory, SETTINGS_FILE))
+        self.save_splats(os.path.join(directory, SPLATS_FILE))
+
+    def load_project(self, directory: str) -> None:
+        self.load_settings(os.path.join(directory, SETTINGS_FILE))
+        self.load_splats(os.path.join(directory, SPLATS_FILE))
+
+    def save_settings(self, path: str) -> None:
+        self.project.save(path)
+
+    def load_settings(self, path: str) -> None:
+        self.project = Project.load(path)
+        self.trainer.project = self.project
+        if self.project.pathModel and os.path.exists(self.project.pathModel):
+            self.load_model_obj(self.project.pathModel)
+        if self.project.pathTextureDiffuse and os.path.exists(
+            self.project.pathTextureDiffuse
+        ):
+            self.load_texture(self.project.pathTextureDiffuse)
+
+    def save_splats(self, path: str) -> None:
+        save_gobj(SplatModelHost.from_device(self.model), path)
+
+    def load_splats(self, path: str) -> None:
+        host = load_gobj(path, capacity=self.runtime.splats_capacity)
+        self.model = host.to_device()
+
+    # -- rendering / export --------------------------------------------
+    def preview_camera(self) -> Camera:
+        return Camera.get_preview_camera(self.project)
+
+    def render_splats(self, width=None, height=None, camera=None, splat_scale=None):
+        cam = camera or self.preview_camera()
+        scale = (
+            splat_scale if splat_scale is not None else self.project.previewSplatScale
+        )
+        return self.trainer.render(cam, width, height, scale)
+
+    def render_rtx(self, width=None, height=None, camera=None, samples=None,
+                   show_cameras: bool = False):
+        cam = camera or self.preview_camera()
+        w = width or self.project.renderResX
+        h = height or self.project.renderResY
+        s = samples or self.project.rtSamples
+        orbs = None
+        if show_cameras:
+            orbs = [c.location for c in Camera.get_cameras(self.project)]
+        return self.rtx.render(cam, (0.0, 0.0, 0.0), s, w, h, splat_cameras=orbs)
+
+    def export_splats_png(self, path: str, width=None, height=None) -> None:
+        """Reference 'Render Splats' export (vertically flipped PNG)."""
+        w = width or self.project.renderResX
+        h = height or self.project.renderResY
+        img = self.render_splats(w, h)
+        save_png(np.asarray(jnp.clip(img, 0, 1)), path)
+
+    def export_rtx_png(self, path: str, width=None, height=None, samples=None) -> None:
+        w = width or self.project.renderResX
+        h = height or self.project.renderResY
+        img = self.render_rtx(w, h, samples=samples)
+        save_png(np.asarray(jnp.clip(img, 0, 1)), path)

@@ -29,6 +29,13 @@ except Exception:  # pragma: no cover - native lib not built
 
 
 def save_gobj(model: SplatModelHost, path_or_file: Union[str, TextIO]) -> None:
+    if _native is not None and isinstance(path_or_file, str):
+        n = model.count
+        if _native.save_gobj(
+            path_or_file, model.means[:n], model.shs[:n], model.scales[:n],
+            model.opacities[:n], model.rotations[:n],
+        ):
+            return
     fh: TextIO
     own = isinstance(path_or_file, str)
     fh = open(path_or_file, "w") if own else path_or_file

@@ -97,7 +97,9 @@ class TrainMetrics(NamedTuple):
 RenderFn = Callable[..., jax.Array]
 
 
-def _default_render(kind: str, row_chunk: int) -> RenderFn:
+def _default_render(
+    kind: str, row_chunk: int, runtime: Optional[RuntimeConfig] = None
+) -> RenderFn:
     if kind == "oracle":
         from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
 
@@ -105,6 +107,10 @@ def _default_render(kind: str, row_chunk: int) -> RenderFn:
     if kind == "tiled":
         from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
 
+        if runtime is not None:
+            return partial(
+                render_tiled, tile=runtime.tile_px, max_dup=runtime.max_dup
+            )
         return render_tiled
     raise ValueError(f"unknown renderer {kind!r}")
 
@@ -216,6 +222,8 @@ class Trainer:
         self.truths: Optional[jax.Array] = None  # (2F, H, W, 3)
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
+        if render_fn is None:
+            self._render_fn = render_fn = _default_render(renderer, row_chunk, runtime)
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,
@@ -254,14 +262,18 @@ class Trainer:
             raise RuntimeError("Can't run training iteration, no truth data available!")
         self.project.iterations += 1
         lrs = LearningRates.from_project(self.project)
-        self.model, metrics = self._step(self.model, self.truths, self.truth_cams, lrs)
-        if densify_now:
-            self.model = densify(
-                self.model,
-                metrics.var_loc,
-                metrics.avg_grad_loc,
-                DensifyParams.from_project(self.project),
+        with jax.profiler.TraceAnnotation("gsplat.train_step"):
+            self.model, metrics = self._step(
+                self.model, self.truths, self.truth_cams, lrs
             )
+        if densify_now:
+            with jax.profiler.TraceAnnotation("gsplat.densify"):
+                self.model = densify(
+                    self.model,
+                    metrics.var_loc,
+                    metrics.avg_grad_loc,
+                    DensifyParams.from_project(self.project),
+                )
         self.last_metrics = metrics
         return metrics
 

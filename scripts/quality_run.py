@@ -1,0 +1,138 @@
+"""Quality harness: train a textured OBJ to N splats, report PSNR + steps/s.
+
+BASELINE configs 2-3: 8-camera truth rig, densify schedule, PSNR measured on
+held-out (freshly captured) truth views against the splat render.
+
+Usage:
+    python scripts/quality_run.py [--steps 600] [--res 256] [--obj path.obj]
+        [--out run_dir]
+
+Without --obj a built-in two-plane cross with a checker texture is used.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from gaussian_splatterer_tpu.app.session import Session
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+from gaussian_splatterer_tpu.io.image import save_png
+from gaussian_splatterer_tpu.io.obj import TriangleMesh
+from gaussian_splatterer_tpu.models.camera import Camera
+from gaussian_splatterer_tpu.utils.metrics import psnr
+
+CROSS_OBJ_VERTS = np.array(
+    [
+        [-1.2, -1.2, 0], [1.2, -1.2, 0], [1.2, 1.2, 0], [-1.2, 1.2, 0],
+        [0, -1.2, -1.2], [0, 1.2, -1.2], [0, 1.2, 1.2], [0, -1.2, 1.2],
+    ],
+    np.float32,
+)
+CROSS_TRIS = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+CROSS_UV = np.array(
+    [
+        [[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]],
+        [[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]],
+    ],
+    np.float32,
+)
+
+
+def checker_texture(n=64, a=(0.9, 0.3, 0.2), b=(0.2, 0.4, 0.9)):
+    t = np.zeros((n, n, 4), np.float32)
+    yy, xx = np.mgrid[0:n, 0:n]
+    mask = ((xx // 8) + (yy // 8)) % 2 == 0
+    t[mask] = (*a, 1.0)
+    t[~mask] = (*b, 1.0)
+    return t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--cams", type=int, default=8)
+    ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--capacity", type=int, default=65_536)
+    ap.add_argument("--max-dup", type=int, default=2**17)
+    ap.add_argument("--obj")
+    ap.add_argument("--texture")
+    ap.add_argument("--out", default="/tmp/gsplat_quality")
+    args = ap.parse_args()
+
+    proj = Project.app_default()
+    proj.sphere1.count = args.cams
+    proj.rtSamples = args.samples
+    runtime = RuntimeConfig(
+        render_resolution_x=args.res, render_resolution_y=args.res,
+        splats_capacity=args.capacity, max_dup=args.max_dup,
+    )
+    s = Session(project=proj, runtime=runtime, renderer="tiled")
+    if args.obj:
+        s.load_model_obj(args.obj)
+        if args.texture:
+            s.load_texture(args.texture)
+        s.init_field("model")
+    else:
+        s.rtx.load_model(TriangleMesh(CROSS_OBJ_VERTS, CROSS_TRIS, CROSS_UV))
+        s.rtx.load_texture_diffuse(checker_texture())
+        s.init_field("model")
+
+    t0 = time.time()
+    s.capture()
+    print(f"capture: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    hist = []
+
+    def on_step(it, metrics):
+        if it % 25 == 0:
+            rate = it / max(time.time() - t0, 1e-9)
+            entry = dict(it=it, loss=float(metrics.loss),
+                         splats=int(s.model.count), steps_per_s=rate)
+            hist.append(entry)
+            print(json.dumps(entry), flush=True)
+
+    s.auto_train(args.steps, on_step=on_step)
+    train_time = time.time() - t0
+    steps_per_s = args.steps / train_time
+
+    # PSNR on fresh (held-out rotation) truth views, black background
+    from gaussian_splatterer_tpu.train.trainer import randomize_rig_rotations
+
+    randomize_rig_rotations(s.project)
+    cams = Camera.get_cameras(s.project)[:4]
+    psnrs = []
+    os.makedirs(args.out, exist_ok=True)
+    for i, cam in enumerate(cams):
+        truth = s.rtx.render(cam, (0, 0, 0), args.samples, args.res, args.res)
+        pred = s.trainer.render(cam, args.res, args.res)
+        psnrs.append(float(psnr(truth, jnp.clip(pred, 0, 1))))
+        if i == 0:
+            save_png(np.asarray(truth), os.path.join(args.out, "truth.png"))
+            save_png(np.asarray(jnp.clip(pred, 0, 1)),
+                     os.path.join(args.out, "pred.png"))
+
+    result = {
+        "steps": args.steps,
+        "steps_per_s": round(steps_per_s, 2),
+        "final_splats": int(s.model.count),
+        "psnr_mean": round(float(np.mean(psnrs)), 2),
+        "psnr_per_view": [round(p, 2) for p in psnrs],
+        "train_time_s": round(train_time, 1),
+    }
+    with open(os.path.join(args.out, "result.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Headless app session + CLI: project lifecycle, training, export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gaussian_splatterer_tpu.app.cli import main as cli_main
+from gaussian_splatterer_tpu.app.session import Session
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+
+OBJ = """\
+v -1.5 -1.5 0
+v 1.5 -1.5 0
+v 1.5 1.5 0
+v -1.5 1.5 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1 2/2 3/3 4/4
+"""
+
+
+@pytest.fixture()
+def obj_path(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text(OBJ)
+    return str(p)
+
+
+def tiny_session(renderer="tiled"):
+    proj = Project.app_default()
+    proj.sphere1.count = 2
+    proj.rtSamples = 4
+    runtime = RuntimeConfig(
+        render_resolution_x=32, render_resolution_y=32,
+        splats_capacity=256, max_dup=2**10, tile_px=16,
+    )
+    return Session(project=proj, runtime=runtime, renderer=renderer)
+
+
+def test_session_end_to_end(obj_path, tmp_path):
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("mono")
+    s.capture()
+    assert s.trainer.truths.shape == (4, 32, 32, 3)
+    m0 = s.train(1)
+    loss0 = float(m0.loss)
+    m1 = s.train(5)
+    assert np.isfinite(float(m1.loss))
+    assert float(m1.loss) <= loss0 * 1.5  # training is stable
+
+    out = tmp_path / "proj"
+    s.save_project(str(out))
+    assert (out / "settings.json").exists()
+    assert (out / "splats.gobj").exists()
+
+    s2 = tiny_session()
+    s2.load_project(str(out))
+    assert int(s2.model.count) == int(s.model.count)
+    assert s2.project.pathModel == obj_path
+
+    png = tmp_path / "render.png"
+    s.export_splats_png(str(png), 32, 32)
+    assert png.exists()
+
+
+def test_init_field_model(obj_path):
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("model")
+    assert int(s.model.count) == 2  # quad -> two triangles
+
+
+def test_cli_workflow(obj_path, tmp_path):
+    proj_dir = str(tmp_path / "cliproj")
+    cli_main([
+        "new", proj_dir, "--obj", obj_path, "--init-field", "mono",
+        "--resolution", "32", "--capacity", "256",
+    ])
+    assert os.path.exists(os.path.join(proj_dir, "settings.json"))
+
+    # shrink the camera rig for speed, as a user would edit settings.json
+    sfile = os.path.join(proj_dir, "settings.json")
+    cfg = json.load(open(sfile))
+    cfg["sphere1"]["count"] = 2
+    cfg["sphere2"]["count"] = 0
+    cfg["rtSamples"] = 2
+    cfg["intervalCapture"] = 0
+    cfg["intervalDensify"] = 0
+    json.dump(cfg, open(sfile, "w"))
+
+    cli_main([
+        "train", proj_dir, "--steps", "2", "--resolution", "32",
+        "--capacity", "256",
+    ])
+    out = json.load(open(sfile))
+    assert out["iterations"] == 2
+
+    png = str(tmp_path / "out.png")
+    cli_main([
+        "render", proj_dir, png, "--mode", "splats", "--size", "32x32",
+        "--resolution", "32", "--capacity", "256",
+    ])
+    assert os.path.exists(png)
