@@ -110,9 +110,10 @@ class Session:
         intervalCapture iters, densify every intervalDensify."""
 
         def log_step(it, metrics):
-            self.logger.log_step(
-                it, float(metrics.loss), int(self.model.count)
-            )
+            # pass device scalars through unconverted: the logger only
+            # materializes them on emitting iterations, so the training loop
+            # never blocks on a device->host sync just to log
+            self.logger.log_step(it, metrics.loss, self.model.count)
             if on_step is not None:
                 on_step(it, metrics)
 

@@ -66,11 +66,21 @@ def main():
     ap.add_argument("--obj")
     ap.add_argument("--texture")
     ap.add_argument("--out", default="/tmp/gsplat_quality")
+    ap.add_argument("--densify-variance", type=float,
+                    help="override paramDensifyVariance (growth trigger)")
+    ap.add_argument("--interval-densify", type=int)
+    ap.add_argument("--interval-capture", type=int)
     args = ap.parse_args()
 
     proj = Project.app_default()
     proj.sphere1.count = args.cams
     proj.rtSamples = args.samples
+    if args.densify_variance is not None:
+        proj.paramDensifyVariance = args.densify_variance
+    if args.interval_densify is not None:
+        proj.intervalDensify = args.interval_densify
+    if args.interval_capture is not None:
+        proj.intervalCapture = args.interval_capture
     runtime = RuntimeConfig(
         render_resolution_x=args.res, render_resolution_y=args.res,
         splats_capacity=args.capacity, max_dup=args.max_dup,
