@@ -25,7 +25,8 @@ from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
 W = H = 1024
 N_SPLATS = 50_000
 CAPACITY = 65_536
-MAX_DUP = 2**19
+TILE = 32  # measured fastest on v5e (16: 81 ms, 32: 63 ms, 64: VMEM OOM)
+MAX_DUP = 2**18  # ~204k duplicates at this scene/tile; 2x headroom
 REPS = 30
 REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
 
@@ -64,7 +65,7 @@ def main():
     def loss(p):
         img = render_tiled(
             *p, active, view, pv, pos, tan_x, tan_y, W, H, bg, 1, 1.0,
-            max_dup=MAX_DUP,
+            tile=TILE, max_dup=MAX_DUP,
         )
         return jnp.sum(jnp.square(img))
 

@@ -121,20 +121,26 @@ def bin_splats(
     sid = jax.lax.cummax(seed) - 1  # (D,) in [-1, n-1]
     sid_c = jnp.maximum(sid, 0)
 
+    # ONE batched row-gather for all per-splat lookup tables: 1-D int gathers
+    # each lowered to a ~4 ms serial fusion on v5e, while a (K, N)[:, idx]
+    # gather runs at memory speed.
+    tables = jnp.stack([offs_excl, spans_x, x0, y0, order])  # (5, N)
+    g = tables[:, sid_c]  # (5, D)
+    oe, wdt, gx0, gy0, orig = g[0], g[1], g[2], g[3], g[4]
+
     d = jnp.arange(max_dup, dtype=i32)
-    local = (d - offs_excl[sid_c]).astype(jnp.float32)
-    wdt = spans_x[sid_c]
+    local = (d - oe).astype(jnp.float32)
     winv = 1.0 / jnp.maximum(wdt, 1).astype(jnp.float32)
     row = jnp.floor(local * winv)  # exact: local < 2^24, wdt small
     col = local - row * wdt.astype(jnp.float32)
-    tyv = y0[sid_c] + row.astype(i32)
-    txv = x0[sid_c] + col.astype(i32)
+    tyv = gy0 + row.astype(i32)
+    txv = gx0 + col.astype(i32)
     dup_valid = d < jnp.minimum(total, max_dup)
     tid = jnp.where(dup_valid, tyv * tx_tiles + txv, num_tiles).astype(i32)
 
     # 3. stable single-key sort by tile id (depth order preserved within tile)
-    tid_sorted, pos_sorted = jax.lax.sort((tid, d), num_keys=1, is_stable=True)
-    gather_idx = order[sid_c[pos_sorted]]
+    tid_sorted, pos_sorted = jax.lax.sort((tid, orig), num_keys=1, is_stable=True)
+    gather_idx = pos_sorted
 
     # 4. per-tile ranges
     tids = jnp.arange(num_tiles, dtype=i32)

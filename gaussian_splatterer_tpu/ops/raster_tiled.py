@@ -399,6 +399,106 @@ def _make_composite(
     return composite
 
 
+def image_to_tiles(img: jax.Array, tile: int) -> jax.Array:
+    """(H, W, 3) -> (T, tile*tile, 3) in the kernel's tile-major pixel order.
+
+    Requires tile | H and tile | W.  Used to pre-tile truth images once so
+    training losses stay in tile space (no per-step image assembly)."""
+    h, w, c = img.shape
+    ty, txx = h // tile, w // tile
+    return (
+        img.reshape(ty, tile, txx, tile, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ty * txx, tile * tile, c)
+    )
+
+
+def tiles_to_image(img_tiles: jax.Array, width: int, height: int, tile: int) -> jax.Array:
+    """(T, tile*tile, 3) -> (H, W, 3) (inverse of image_to_tiles, cropping
+    any tile padding)."""
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    img = (
+        img_tiles.reshape(ty_tiles, tx_tiles, tile, tile, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ty_tiles * tile, tx_tiles * tile, 3)
+    )
+    return img[:height, :width, :]
+
+
+def render_tiled_tiles(
+    means,
+    shs,
+    scales,
+    opacities,
+    rotations,
+    active,
+    view,
+    proj_view,
+    cam_pos,
+    tan_fovx,
+    tan_fovy,
+    width: int,
+    height: int,
+    background,
+    sh_degree: int,
+    scale_mod=1.0,
+    *,
+    tile: int = 16,
+    chunk: int = 128,
+    max_dup: int = 2**19,
+    interpret: bool | None = None,
+):
+    """Tile-space render: (T, tile*tile, 3) image tiles, background applied.
+
+    The training fast path: losses against pre-tiled truths skip the
+    tile->image assembly entirely (see image_to_tiles)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+
+    proj = project_splat_components(
+        means, shs, scales, opacities, rotations, active,
+        view, proj_view, cam_pos, tan_fovx, tan_fovy,
+        width, height, sh_degree, scale_mod,
+    )
+    bins = bin_splats(
+        jax.lax.stop_gradient(proj), width, height, tile, max_dup, chunk
+    )
+
+    # rows = splats so the gather AND its autodiff transpose (a row
+    # scatter-add of duplicate gradients back per splat) take the fast
+    # row-wise DMA path
+    feat_rows = jnp.stack(
+        [
+            proj.mx,
+            proj.my,
+            proj.ca,
+            proj.cb,
+            proj.cc,
+            proj.cr,
+            proj.cg,
+            proj.cb2,
+            proj.opacity,
+        ],
+        axis=-1,
+    )  # (N, 9)
+    gathered = feat_rows[bins.gather_idx]  # (D, 9)
+    feat16 = (
+        jnp.zeros((max_dup, _F_ROWS), jnp.float32).at[:, :9].set(gathered).T
+    )
+
+    composite = _make_composite(
+        bins, num_tiles, tile, tx_tiles, chunk, max_dup, interpret
+    )
+    out = composite(feat16)  # (T, P, 4)
+
+    background = jnp.asarray(background, jnp.float32)
+    return out[..., 0:3] + out[..., 3:4] * background[None, None, :]
+
+
 def render_tiled(
     means,
     shs,
@@ -427,51 +527,13 @@ def render_tiled(
     Differentiable w.r.t. all splat parameters and the background; numerics
     match render_oracle(tile_cull=tile) (tile-granular splat cutoff is the
     INRIA-reference semantic — SURVEY §7 hard part 5)."""
-    if interpret is None:
-        interpret = _should_interpret()
-    tx_tiles = -(-width // tile)
-    ty_tiles = -(-height // tile)
-    num_tiles = tx_tiles * ty_tiles
-
-    proj = project_splat_components(
+    img_tiles = render_tiled_tiles(
         means, shs, scales, opacities, rotations, active,
         view, proj_view, cam_pos, tan_fovx, tan_fovy,
-        width, height, sh_degree, scale_mod,
+        width, height, background, sh_degree, scale_mod,
+        tile=tile, chunk=chunk, max_dup=max_dup, interpret=interpret,
     )
-    bins = bin_splats(
-        jax.lax.stop_gradient(proj), width, height, tile, max_dup, chunk
-    )
-
-    feat9 = jnp.stack(
-        [
-            proj.mx,
-            proj.my,
-            proj.ca,
-            proj.cb,
-            proj.cc,
-            proj.cr,
-            proj.cg,
-            proj.cb2,
-            proj.opacity,
-        ],
-        axis=0,
-    )  # (9, N)
-    gathered = feat9[:, bins.gather_idx]  # (9, D); transpose = scatter-add
-    feat16 = jnp.zeros((_F_ROWS, max_dup), jnp.float32).at[:9].set(gathered)
-
-    composite = _make_composite(
-        bins, num_tiles, tile, tx_tiles, chunk, max_dup, interpret
-    )
-    out = composite(feat16)  # (T, P, 4)
-
-    background = jnp.asarray(background, jnp.float32)
-    img_tiles = out[..., 0:3] + out[..., 3:4] * background[None, None, :]
-    img = (
-        img_tiles.reshape(ty_tiles, tx_tiles, tile, tile, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(ty_tiles * tile, tx_tiles * tile, 3)
-    )
-    return img[:height, :width, :]
+    return tiles_to_image(img_tiles, width, height, tile)
 
 
 def render_tiled_model(

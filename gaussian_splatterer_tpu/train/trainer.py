@@ -127,6 +127,9 @@ def make_train_step(
 
     truths: (2F, H, W, 3) float32 — F white-background frames then F
     black-background frames, same camera order (src/Trainer.cu:311-314).
+    When ``render_fn`` produces tile-space images (render_tiled_tiles),
+    truths must be pre-tiled to (2F, T, P, 3) with image_to_tiles — the
+    residual/loss math is shape-agnostic.
     """
     render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
 
@@ -219,18 +222,35 @@ class Trainer:
         self.renderer = renderer
         self.row_chunk = row_chunk
         self._render_fn = render_fn
-        self.truths: Optional[jax.Array] = None  # (2F, H, W, 3)
+        self.truths: Optional[jax.Array] = None  # (2F, H, W, 3) or tiled
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
         if render_fn is None:
             self._render_fn = render_fn = _default_render(renderer, row_chunk, runtime)
+        # tile-space fast path: train against pre-tiled truths so the step
+        # never assembles (H, W) images (saves two transposes per frame
+        # forward + two backward)
+        self._tile_space = 0
+        step_render = render_fn
+        if (
+            renderer == "tiled"
+            and render_fn is self._render_fn
+            and runtime.render_resolution_x % runtime.tile_px == 0
+            and runtime.render_resolution_y % runtime.tile_px == 0
+        ):
+            from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled_tiles
+
+            self._tile_space = runtime.tile_px
+            step_render = partial(
+                render_tiled_tiles, tile=runtime.tile_px, max_dup=runtime.max_dup
+            )
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,
             runtime.sh_degree,
             renderer=renderer,
             row_chunk=row_chunk,
-            render_fn=render_fn,
+            render_fn=step_render,
         )
 
     # ------------------------------------------------------------------
@@ -253,7 +273,12 @@ class Trainer:
 
         whites = [shoot(c, (1.0, 1.0, 1.0)) for c in cameras]
         blacks = [shoot(c, (0.0, 0.0, 0.0)) for c in cameras]
-        self.truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
+        truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
+        if self._tile_space:
+            from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles
+
+            truths = jax.vmap(lambda im: image_to_tiles(im, self._tile_space))(truths)
+        self.truths = truths
         self.truth_cams = CameraBatch.from_cameras(cameras, w, h, train=True)
 
     # ------------------------------------------------------------------

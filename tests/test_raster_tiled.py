@@ -71,6 +71,22 @@ def test_forward_allclose(n, seed):
     np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-5)
 
 
+@pytest.mark.parametrize("tile", [8, 32])
+def test_forward_allclose_other_tile_sizes(tile):
+    params = random_splats(80, 4)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.zeros(3, jnp.float32)
+    img_o = render_oracle(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        row_chunk=16, tile_cull=tile,
+    )
+    img_t = render_tiled(
+        *params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+        tile=tile, chunk=128, max_dup=2**13, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-5)
+
+
 def test_forward_white_bg():
     img_o, img_t = both_renders(50, 5, (1.0, 1.0, 1.0))
     np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), atol=1e-5)
