@@ -70,9 +70,10 @@ def _upper_tri(chunk: int) -> jax.Array:
 
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
     """Inclusive cumulative sum along the last (lane) axis as a triangular
-    matmul.  Measured FASTER than a pltpu.roll log-shift ladder: the MXU
-    matmul overlaps with the kernel's VPU work while lane-rotates contend
-    for the vector unit.  (jnp.cumsum does not lower in Pallas TPU.)"""
+    matmul.  Measured FASTER than a pltpu.roll log-shift ladder for the f32
+    transmittance sums: the MXU matmul overlaps with the kernel's VPU work
+    while lane-rotates contend for the vector unit.  (jnp.cumsum does not
+    lower in Pallas TPU.)"""
     return jnp.dot(x, _upper_tri(x.shape[-1]), preferred_element_type=jnp.float32)
 
 
@@ -120,8 +121,10 @@ def _composite_chunk(a, t_in, alive):
     cum_excl = cum_incl - logs
     t_excl = t_in * jnp.exp(cum_excl)
     trigger = (t_excl * (1.0 - a) < T_EPS).astype(jnp.float32)
-    trig_cum = _cumsum_lanes(trigger)
-    keep = (trig_cum == 0.0) & (alive > 0.0)
+    # prefix-OR via the triangular matmul: a pltpu.roll ladder measured
+    # slower (VPU rolls contend; the MXU overlaps with everything else)
+    trig_pre = _cumsum_lanes(trigger)
+    keep = (trig_pre == 0.0) & (alive > 0.0)
     a_eff = jnp.where(keep, a, 0.0)
 
     # log1p(-a_eff) == keep ? logs : 0, exactly — no second log evaluation
@@ -131,7 +134,7 @@ def _composite_chunk(a, t_in, alive):
     t_k = t_in * jnp.exp(cum2_excl)
     weight = a_eff * t_k
     t_out = t_in * jnp.exp(cum2_incl[:, -1:])
-    alive_out = alive * (trig_cum[:, -1:] == 0.0).astype(jnp.float32)
+    alive_out = alive * (trig_pre[:, -1:] == 0.0).astype(jnp.float32)
     return weight, t_k, a_eff, keep, t_out, alive_out
 
 
@@ -239,24 +242,17 @@ def _bwd_kernel(
     d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
     d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
 
-    # S_k = C_total - C_{<=k} per channel (C_in carried in acc cols 0-2)
-    wc_r = weight * cr
-    wc_g = weight * cg
-    wc_b = weight * cb2
-    cum_r = _cumsum_lanes(wc_r)
-    cum_g = _cumsum_lanes(wc_g)
-    cum_b = _cumsum_lanes(wc_b)
-    s_r = c_tot_r - (acc[:, 0:1] + cum_r)
-    s_g = c_tot_g - (acc[:, 1:2] + cum_g)
-    s_b = c_tot_b - (acc[:, 2:3] + cum_b)
+    # S_k = C_total - C_{<=k}; the pixel gradient g is constant per pixel,
+    # so sum_ch g_ch S_k,ch collapses the three per-channel cumulative sums
+    # into ONE cumsum of g.(weight*c) — the bwd kernel is MXU-bound on
+    # these triangular matmuls.  g.C_in is carried in acc col 0.
+    gc = g_r * cr + g_g * cg + g_b * cb2  # (P, C): g . c_k
+    cum_gwc = _cumsum_lanes(weight * gc)
+    g_ctot = g_r * c_tot_r + g_g * c_tot_g + g_b * c_tot_b  # (P, 1)
+    g_s = g_ctot - (acc[:, 0:1] + cum_gwc)  # (P, C): g . S_k
 
     inv1ma = 1.0 / (1.0 - a_eff)
-    d_alpha = (
-        g_r * (cr * t_k - s_r * inv1ma)
-        + g_g * (cg * t_k - s_g * inv1ma)
-        + g_b * (cb2 * t_k - s_b * inv1ma)
-        - g_t * t_n * inv1ma
-    )
+    d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
     grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
     d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
 
@@ -277,9 +273,7 @@ def _bwd_kernel(
         axis=0,
     )
 
-    acc[:, 0:1] += cum_r[:, -1:]
-    acc[:, 1:2] += cum_g[:, -1:]
-    acc[:, 2:3] += cum_b[:, -1:]
+    acc[:, 0:1] += cum_gwc[:, -1:]
     acc[:, 3:4] = t_out
     acc[:, 4:5] = alive_out
 

@@ -55,6 +55,65 @@ def checker_texture(n=64, a=(0.9, 0.3, 0.2), b=(0.2, 0.4, 0.9)):
     return t
 
 
+def mushroom_mesh(n_theta=48, n_prof=24):
+    """Procedural mushroom (surface of revolution: stem + cap), the
+    BASELINE 'mushroom-class OBJ' workload. UV: (theta, profile arclength)."""
+    # profile (radius, y) from stem base to cap apex
+    prof = []
+    for t in np.linspace(0.0, 1.0, n_prof):
+        if t < 0.45:  # stem
+            r = 0.35 + 0.05 * np.cos(t * 9)
+            y = -1.2 + t / 0.45 * 1.2
+        else:  # cap: hemisphere-ish with a lip
+            u = (t - 0.45) / 0.55 * np.pi / 2
+            r = 1.25 * np.cos(u) + 0.02
+            y = 0.85 * np.sin(u)
+        prof.append((r, y))
+    prof = np.array(prof, np.float32)
+
+    verts, uvs = [], []
+    for i, (r, y) in enumerate(prof):
+        for j in range(n_theta):
+            th = 2 * np.pi * j / n_theta
+            verts.append((r * np.cos(th), y, r * np.sin(th)))
+            uvs.append((j / n_theta, i / (n_prof - 1)))
+    verts = np.array(verts, np.float32)
+    uvs = np.array(uvs, np.float32)
+
+    tris, tri_uv = [], []
+    for i in range(n_prof - 1):
+        for j in range(n_theta):
+            j2 = (j + 1) % n_theta
+            a = i * n_theta + j
+            b = i * n_theta + j2
+            c = (i + 1) * n_theta + j
+            d = (i + 1) * n_theta + j2
+            for t3 in ((a, b, d), (a, d, c)):
+                tris.append(t3)
+                tri_uv.append([uvs[k] for k in t3])
+    return TriangleMesh(
+        verts, np.array(tris, np.int32), np.array(tri_uv, np.float32)
+    )
+
+
+def mushroom_texture(n=128):
+    """Red-capped, spotted mushroom texture over the (theta, profile) UV."""
+    t = np.zeros((n, n, 4), np.float32)
+    v = np.linspace(0, 1, n)[:, None]  # profile coordinate (rows)
+    t[..., 0] = np.where(v > 0.45, 0.85, 0.93)
+    t[..., 1] = np.where(v > 0.45, 0.12, 0.87)
+    t[..., 2] = np.where(v > 0.45, 0.10, 0.72)
+    rng = np.random.default_rng(5)
+    for _ in range(25):  # white spots on the cap
+        cy = rng.uniform(0.55, 0.95) * n
+        cx = rng.uniform(0, 1) * n
+        yy, xx = np.mgrid[0:n, 0:n]
+        d2 = (yy - cy) ** 2 + (np.minimum(np.abs(xx - cx), n - np.abs(xx - cx))) ** 2
+        t[d2 < (n * 0.035) ** 2, 0:3] = 0.95
+    t[..., 3] = 1.0
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -65,6 +124,8 @@ def main():
     ap.add_argument("--max-dup", type=int, default=2**17)
     ap.add_argument("--obj")
     ap.add_argument("--texture")
+    ap.add_argument("--scene", choices=["cross", "mushroom"], default="cross",
+                    help="built-in scene when no --obj is given")
     ap.add_argument("--out", default="/tmp/gsplat_quality")
     ap.add_argument("--densify-variance", type=float,
                     help="override paramDensifyVariance (growth trigger)")
@@ -90,6 +151,10 @@ def main():
         s.load_model_obj(args.obj)
         if args.texture:
             s.load_texture(args.texture)
+        s.init_field("model")
+    elif args.scene == "mushroom":
+        s.rtx.load_model(mushroom_mesh())
+        s.rtx.load_texture_diffuse(mushroom_texture())
         s.init_field("model")
     else:
         s.rtx.load_model(TriangleMesh(CROSS_OBJ_VERTS, CROSS_TRIS, CROSS_UV))

@@ -304,3 +304,31 @@ def test_sort_pushes_invalid_to_end():
     nvalid = v.sum()
     assert v[:nvalid].all() and not v[nvalid:].any()
     assert (np.diff(d[:nvalid]) >= 0).all()
+
+
+def test_sh_channel_impl_matches_vectorized():
+    """Component-wise SH evaluation (fast path) == vectorized sh_to_rgb for
+    every supported band, including degree-3 coefficients."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussian_splatterer_tpu.ops.transforms import (
+        _sh_to_rgb_channels,
+        sh_to_rgb,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 64
+    dirs = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for degree, k in [(0, 1), (1, 4), (2, 9), (3, 16)]:
+        shs = jnp.asarray(rng.normal(0, 1, (n, k, 3)).astype(np.float32))
+        ref = sh_to_rgb(shs, jnp.asarray(dirs), degree)
+        r, g, b = _sh_to_rgb_channels(
+            shs, jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]),
+            jnp.asarray(dirs[:, 2]), degree,
+        )
+        got = jnp.stack([r, g, b], -1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5,
+            err_msg=f"degree {degree}",
+        )

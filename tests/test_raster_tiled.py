@@ -164,3 +164,32 @@ def test_overflow_reported():
         tile=TILE, max_dup=128, interpret=True,
     )
     assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_tile_roundtrip():
+    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles, tiles_to_image
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)).astype(np.float32))
+    tiles = image_to_tiles(img, 16)
+    assert tiles.shape == (4 * 6, 256, 3)
+    back = tiles_to_image(tiles, 96, 64, 16)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_tiles_match_image_render():
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        render_tiled_tiles,
+        tiles_to_image,
+    )
+
+    params = random_splats(30, 12)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    img = render_tiled(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                       tile=TILE, max_dup=2**12, interpret=True)
+    tiles = render_tiled_tiles(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                               tile=TILE, max_dup=2**12, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(tiles_to_image(tiles, W, H, TILE)), np.asarray(img)
+    )
