@@ -160,31 +160,36 @@ def _fwd_kernel(
     blk = work_block[w]
     p_count = tile * tile
 
-    @pl.when(is_first[w] == 1)
+    # padding items (w_cap is a worst-case bound, typically ~1/3 slack) skip
+    # all compute; their out block repeats the final tile's and never flushes
+    # new content
+    @pl.when(is_pad[w] == 0)
     def _():
-        acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
-        acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
-        acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
+        @pl.when(is_first[w] == 1)
+        def _():
+            acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
+            acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
+            acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
-    a, _, _, _, _, _, _ = _chunk_state(
-        feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
-    )
-    t_in = acc[:, 3:4]
-    alive = acc[:, 4:5]
-    weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
+        a, _, _, _, _, _, _ = _chunk_state(
+            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+        )
+        t_in = acc[:, 3:4]
+        alive = acc[:, 4:5]
+        weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
 
-    cr = feat_ref[_F_CR : _F_CR + 1, :]
-    cg = feat_ref[_F_CG : _F_CG + 1, :]
-    cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
-    acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
-    acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
-    acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
-    acc[:, 3:4] = t_out
-    acc[:, 4:5] = alive_out
+        cr = feat_ref[_F_CR : _F_CR + 1, :]
+        cg = feat_ref[_F_CG : _F_CG + 1, :]
+        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+        acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
+        acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
+        acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+        acc[:, 3:4] = t_out
+        acc[:, 4:5] = alive_out
 
-    @pl.when(is_last[w] == 1)
-    def _():
-        out_ref[0] = acc[:, 0:4]
+        @pl.when(is_last[w] == 1)
+        def _():
+            out_ref[0] = acc[:, 0:4]
 
 
 def _bwd_kernel(
@@ -211,14 +216,45 @@ def _bwd_kernel(
     blk = work_block[w]
     p_count = tile * tile
 
-    @pl.when(is_first[w] == 1)
+    @pl.when(is_pad[w] == 1)
+    def _():
+        dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
+
+    @pl.when(is_pad[w] == 0)
+    def _():
+        _bwd_body(
+            t, blk, is_first[w], tstart_arr[t], tend_arr[t],
+            feat_ref, gin_ref, fwd_ref, dfeat_ref, acc,
+            tile=tile, tx_tiles=tx_tiles, chunk=chunk,
+        )
+
+
+def _bwd_body(
+    t,
+    blk,
+    first,
+    tstart,
+    tend,
+    feat_ref,
+    gin_ref,
+    fwd_ref,
+    dfeat_ref,
+    acc,
+    *,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+):
+    p_count = tile * tile
+
+    @pl.when(first == 1)
     def _():
         acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
         acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
         acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
     a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-        feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+        feat_ref, t, tstart, tend, blk, tile, tx_tiles, chunk
     )
     t_in = acc[:, 3:4]
     alive = acc[:, 4:5]
@@ -264,11 +300,8 @@ def _bwd_kernel(
     d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
     d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
 
-    # pad items replay the final tile's range against out-of-range blocks;
-    # zero their slabs so the segment-sum cannot double-count (overflow edge)
-    live = jnp.float32(1) - is_pad[w].astype(jnp.float32)
     zero_rows = jnp.zeros((_F_ROWS - 9, chunk), jnp.float32)
-    dfeat_ref[0] = live * jnp.concatenate(
+    dfeat_ref[0] = jnp.concatenate(
         [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op, zero_rows],
         axis=0,
     )
