@@ -4,12 +4,24 @@ from gaussian_splatterer_tpu.parallel.dp import (
     make_dp_train_step,
     shard_truths,
 )
+from gaussian_splatterer_tpu.parallel.fsdp import (
+    SPLAT_AXIS,
+    make_2d_mesh,
+    make_fsdp_train_step,
+    shard_model,
+    shard_truths_2d,
+)
 
 __all__ = [
     "CAMERA_AXIS",
+    "SPLAT_AXIS",
     "make_camera_mesh",
     "make_dp_train_step",
+    "make_2d_mesh",
+    "make_fsdp_train_step",
+    "shard_model",
     "shard_truths",
+    "shard_truths_2d",
     "init_distributed",
 ]
 

@@ -126,6 +126,8 @@ def main():
     ap.add_argument("--texture")
     ap.add_argument("--scene", choices=["cross", "mushroom"], default="cross",
                     help="built-in scene when no --obj is given")
+    ap.add_argument("--mesh-res", type=int, default=32,
+                    help="mushroom mesh resolution (n_theta; tris ~= 2*n*n/2)")
     ap.add_argument("--out", default="/tmp/gsplat_quality")
     ap.add_argument("--densify-variance", type=float,
                     help="override paramDensifyVariance (growth trigger)")
@@ -153,7 +155,7 @@ def main():
             s.load_texture(args.texture)
         s.init_field("model")
     elif args.scene == "mushroom":
-        s.rtx.load_model(mushroom_mesh())
+        s.rtx.load_model(mushroom_mesh(args.mesh_res, max(args.mesh_res // 2, 6)))
         s.rtx.load_texture_diffuse(mushroom_texture())
         s.init_field("model")
     else:

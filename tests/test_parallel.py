@@ -76,3 +76,33 @@ def test_dp_tiled_renderer_runs():
     m2, met2 = dp(model, shard_truths(mesh, truths), cams, lrs)
     assert np.isfinite(float(met2.loss))
     assert np.all(np.isfinite(np.asarray(m2.means)))
+
+
+def test_fsdp_2d_matches_single_device():
+    """('camera','splat') 2x4 mesh: sharded-parameter step == single-device."""
+    from gaussian_splatterer_tpu.parallel.fsdp import (
+        make_2d_mesh,
+        make_fsdp_train_step,
+        shard_model,
+        shard_truths_2d,
+    )
+
+    model, cams, truths = build_scene(n_splats=24, cap=64, n_cams=4)
+    lrs = LearningRates.from_project(Project())
+    render = partial(render_oracle, row_chunk=8)
+
+    single = make_train_step(W, H, 1, render_fn=render, row_chunk=8)
+    m1, met1 = single(model, truths, cams, lrs)
+
+    mesh = make_2d_mesh(2, 4)
+    fsdp = make_fsdp_train_step(mesh, W, H, 1, render_fn=render)
+    m2, met2 = fsdp(
+        shard_model(mesh, model), shard_truths_2d(mesh, truths), cams, lrs
+    )
+
+    np.testing.assert_allclose(np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
