@@ -131,6 +131,8 @@ def main():
     ap.add_argument("--out", default="/tmp/gsplat_quality")
     ap.add_argument("--densify-variance", type=float,
                     help="override paramDensifyVariance (growth trigger)")
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="scale all five per-feature learning rates")
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
     args = ap.parse_args()
@@ -144,6 +146,11 @@ def main():
         proj.intervalDensify = args.interval_densify
     if args.interval_capture is not None:
         proj.intervalCapture = args.interval_capture
+    proj.lrLocation *= args.lr_scale
+    proj.lrSh *= args.lr_scale
+    proj.lrScale *= args.lr_scale
+    proj.lrOpacity *= args.lr_scale
+    proj.lrRotation *= args.lr_scale
     runtime = RuntimeConfig(
         render_resolution_x=args.res, render_resolution_y=args.res,
         splats_capacity=args.capacity, max_dup=args.max_dup,
