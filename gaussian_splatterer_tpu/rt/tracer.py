@@ -112,6 +112,111 @@ def _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     return t, i, u, v
 
 
+def _mt_hit(ox, oy, oz, dx, dy, dz, ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
+            valid):
+    """Möller-Trumbore for (R, Tc) ray x triangle component planes."""
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tx = ox - ax
+    ty = oy - ay
+    tz = oz - az
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_TMIN)
+    return jnp.where(hit, t, jnp.inf), u, v
+
+
+def _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
+    """Acceleration-structure intersection: Morton-ordered triangle chunks
+    with AABBs, visited per ray in entry-distance order with early exit.
+
+    No RT cores and no divergent BVH stacks on TPU — instead every ray slab-
+    tests all chunk AABBs at once (cheap (R, NC) planes), sorts its passing
+    chunks by t_entry, and the batch marches the sorted lists in lockstep,
+    stopping when every ray's best hit precedes its next chunk entry.  The
+    chunk data loads are per-ray row gathers (the fast TPU gather path).
+    """
+    r = ox.shape[0]
+    nc = tris["bb_minx"].shape[0]
+
+    invx = 1.0 / jnp.where(jnp.abs(dx) < 1e-12, 1e-12, dx)
+    invy = 1.0 / jnp.where(jnp.abs(dy) < 1e-12, 1e-12, dy)
+    invz = 1.0 / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+
+    def slab(mn, mx, o, inv):
+        t0 = (mn[None, :] - o[:, None]) * inv[:, None]
+        t1 = (mx[None, :] - o[:, None]) * inv[:, None]
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    ax0, ax1 = slab(tris["bb_minx"], tris["bb_maxx"], ox, invx)
+    ay0, ay1 = slab(tris["bb_miny"], tris["bb_maxy"], oy, invy)
+    az0, az1 = slab(tris["bb_minz"], tris["bb_maxz"], oz, invz)
+    t_enter = jnp.maximum(jnp.maximum(ax0, ay0), jnp.maximum(az0, jnp.float32(RAY_TMIN)))
+    t_exit = jnp.minimum(jnp.minimum(ax1, ay1), az1)
+    key = jnp.where(t_enter <= t_exit, t_enter, jnp.inf)  # (R, NC)
+    key_sorted, order = jax.lax.sort_key_val(
+        key, jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (r, nc)), dimension=1
+    )
+
+    li = jnp.arange(tri_chunk, dtype=jnp.int32)[None, :]  # (1, Tc)
+    rr = jnp.arange(r)
+
+    def cond(state):
+        s, best_t, *_ = state
+        se = jnp.where(s < nc, key_sorted[:, jnp.minimum(s, nc - 1)], jnp.inf)
+        return (s < nc) & jnp.any(se < best_t)
+
+    def body(state):
+        s, best_t, best_i, best_u, best_v = state
+        sc = jnp.minimum(s, nc - 1)
+        se = key_sorted[:, sc]  # (R,) this step's chunk entry distance
+        ck = order[:, sc]  # (R,) chunk id per ray
+        idx = ck[:, None] * tri_chunk + li  # (R, Tc) triangle indices
+        g = lambda name: tris[name][idx]
+        t, u, v = _mt_hit(
+            ox[:, None], oy[:, None], oz[:, None],
+            dx[:, None], dy[:, None], dz[:, None],
+            g("ax"), g("ay"), g("az"),
+            g("e1x"), g("e1y"), g("e1z"),
+            g("e2x"), g("e2y"), g("e2z"),
+            g("valid"),
+        )
+        # rays whose best hit already precedes this chunk skip it
+        useful = se < best_t
+        t = jnp.where(useful[:, None], t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        tj = t[rr, j]
+        closer = tj < best_t
+        best_t = jnp.where(closer, tj, best_t)
+        best_i = jnp.where(closer, idx[rr, j], best_i)
+        best_u = jnp.where(closer, u[rr, j], best_u)
+        best_v = jnp.where(closer, v[rr, j], best_v)
+        return s + 1, best_t, best_i, best_u, best_v
+
+    state = (
+        jnp.int32(0),
+        jnp.full((r,), jnp.inf, jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    _, t, i, u, v = jax.lax.while_loop(cond, body, state)
+    return t, i, u, v
+
+
+def _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
+    if "bb_minx" in tris:
+        return _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
+    return _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
+
+
 def _unit_sphere(key, shape):
     """Uniform sample inside the unit ball (gaussian direction x cbrt radius;
     same distribution as the reference's rejection loop, vectorized)."""
@@ -146,7 +251,7 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
     def body(state):
         i, (ox, oy, oz), (dx, dy, dz), atten, result, alive, reflected, primary_t, key = state
         key, kalpha, kscatter = jax.random.split(key, 3)
-        t, tri, bu, bv = _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
+        t, tri, bu, bv = _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
         hit = alive & jnp.isfinite(t)
         primary_t = jnp.where((i == 0) & jnp.isfinite(t), t, primary_t)
 
@@ -235,14 +340,23 @@ def render_rtx(
             j = jax.random.uniform(kk, (ray_chunk, 2))
             fx = px + j[:, 0] + 0.5
             fy = py + j[:, 1] + 0.5
-            ndc = jnp.stack(
-                [fx * 2.0 / width - 1.0, fy * 2.0 / height - 1.0,
-                 jnp.ones((ray_chunk,)), jnp.ones((ray_chunk,))], -1
-            )
-            far = ndc @ inv_proj_view.T  # (R, 4)
-            far3 = far[:, 0:3] / far[:, 3:4]
-            d = far3 - cam_location[None, :]
-            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            nx = fx * 2.0 / width - 1.0
+            ny = fy * 2.0 / height - 1.0
+            # component-wise 4x4 apply at z=w=1: a jnp matmul here runs at
+            # the TPU's default bf16 matmul precision, and the projective w
+            # (~near/far cancellation, e.g. 4.995 - 5.005) cancels to garbage
+            # -> inf/NaN ray directions.  FMA chains stay f32 on the VPU.
+            m = inv_proj_view
+            fwx = m[0, 0] * nx + m[0, 1] * ny + m[0, 2] + m[0, 3]
+            fwy = m[1, 0] * nx + m[1, 1] * ny + m[1, 2] + m[1, 3]
+            fwz = m[2, 0] * nx + m[2, 1] * ny + m[2, 2] + m[2, 3]
+            fww = m[3, 0] * nx + m[3, 1] * ny + m[3, 2] + m[3, 3]
+            inv_w = 1.0 / fww
+            dx = fwx * inv_w - cam_location[0]
+            dy = fwy * inv_w - cam_location[1]
+            dz = fwz * inv_w - cam_location[2]
+            dn = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
+            d = jnp.stack([dx * dn, dy * dn, dz * dn], -1)
             o = jnp.broadcast_to(cam_location, (ray_chunk, 3))
             color, primary_t = trace_rays(
                 tris, texture, o, d, bounces, background,
@@ -281,6 +395,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """(T, 3) int64 coords in [0, 1024) -> interleaved Morton codes."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
 class RtxHost:
     """Host-side scene owner: mesh + texture upload, render dispatch.
 
@@ -302,13 +428,27 @@ class RtxHost:
         self._seed = 0
 
     # -- scene management (reference RtxHost::loadModel / loadTextureDiffuse)
-    def load_model(self, source, progress=None) -> None:
+    def load_model(self, source, progress=None, accel_min: int = 2 * 512) -> None:
         mesh = source if isinstance(source, TriangleMesh) else load_obj(source, progress)
         self.mesh = mesh
         t = mesh.num_triangles
         tc = max(self.tri_chunk, _round_up(t, self.tri_chunk))
         v = mesh.vertices
         tri = mesh.triangles
+        tri_uv_src = mesh.tri_uv
+        # Morton-order the triangles so fixed-size chunks are spatially
+        # coherent; per-chunk AABBs then cull most chunks per ray (the BVH
+        # substitute — SURVEY §7 hard part 4)
+        use_accel = t >= accel_min
+        if use_accel and t > 0:
+            cent = (v[tri[:, 0]] + v[tri[:, 1]] + v[tri[:, 2]]) / 3.0
+            lo, hi = cent.min(0), cent.max(0)
+            q = np.clip(
+                ((cent - lo) / np.maximum(hi - lo, 1e-12) * 1023.0), 0, 1023
+            ).astype(np.int64)
+            order = np.argsort(_morton3(q), kind="stable")
+            tri = tri[order]
+            tri_uv_src = tri_uv_src[order]
         a = np.zeros((tc, 3), np.float32)
         e1 = np.zeros((tc, 3), np.float32)
         e2 = np.zeros((tc, 3), np.float32)
@@ -320,7 +460,7 @@ class RtxHost:
         nrm = np.zeros((tc, 3), np.float32)
         nrm[:t] = n
         uv = np.zeros((tc, 3, 2), np.float32)
-        uv[:t] = mesh.tri_uv
+        uv[:t] = tri_uv_src
         valid = np.zeros((tc,), bool)
         valid[:t] = True
         self._tris = {
@@ -333,6 +473,20 @@ class RtxHost:
             "uv2x": jnp.asarray(uv[:, 2, 0]), "uv2y": jnp.asarray(uv[:, 2, 1]),
             "valid": jnp.asarray(valid),
         }
+        if use_accel:
+            nc = tc // self.tri_chunk
+            corners = np.stack([a, a + e1, a + e2])  # (3, tc, 3)
+            big = np.float32(np.inf)
+            mn = np.where(valid[None, :, None], corners, big).min(0)
+            mx = np.where(valid[None, :, None], corners, -big).max(0)
+            mn = mn.reshape(nc, self.tri_chunk, 3).min(1)
+            mx = mx.reshape(nc, self.tri_chunk, 3).max(1)
+            self._tris.update({
+                "bb_minx": jnp.asarray(mn[:, 0]), "bb_miny": jnp.asarray(mn[:, 1]),
+                "bb_minz": jnp.asarray(mn[:, 2]),
+                "bb_maxx": jnp.asarray(mx[:, 0]), "bb_maxy": jnp.asarray(mx[:, 1]),
+                "bb_maxz": jnp.asarray(mx[:, 2]),
+            })
 
     def load_texture_diffuse(self, source) -> None:
         tex = source if isinstance(source, np.ndarray) else load_texture_rgba(source)

@@ -126,3 +126,40 @@ def test_capture_truths_integration():
     trainer.capture_truths(host)
     assert trainer.truths.shape == (4, RES, RES, 3)
     assert bool(jnp.all(jnp.isfinite(trainer.truths)))
+
+
+def icosphere_like(n=12):
+    """UV-sphere triangle mesh (enough tris to exercise chunked culling)."""
+    verts, tris, uvs = [], [], []
+    for i in range(n + 1):
+        for j in range(n):
+            th = np.pi * i / n
+            ph = 2 * np.pi * j / n
+            verts.append((1.5 * np.sin(th) * np.cos(ph),
+                          1.5 * np.cos(th),
+                          1.5 * np.sin(th) * np.sin(ph)))
+    verts = np.array(verts, np.float32)
+    tri_uv = []
+    for i in range(n):
+        for j in range(n):
+            j2 = (j + 1) % n
+            a, b = i * n + j, i * n + j2
+            c, d = (i + 1) * n + j, (i + 1) * n + j2
+            for t3 in ((a, b, d), (a, d, c)):
+                tris.append(t3)
+                tri_uv.append([(0.1, 0.1)] * 3)
+    return TriangleMesh(verts, np.array(tris, np.int32),
+                        np.array(tri_uv, np.float32))
+
+
+def test_culled_matches_bruteforce():
+    """Morton-chunk AABB culling returns the same image as brute force."""
+    mesh = icosphere_like(12)  # 288 triangles
+    tex = solid_texture(0.7, 0.4, 0.2)
+    imgs = []
+    for accel_min in (1, 10**9):  # force accel on / off
+        host = RtxHost(tri_chunk=32, ray_chunk=RES * RES)
+        host.load_model(mesh, accel_min=accel_min)
+        host.load_texture_diffuse(tex)
+        imgs.append(render(host, (0.1, 0.2, 0.3), samples=6, seed=5))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
