@@ -105,15 +105,38 @@ class Session:
             metrics = self.trainer.train(densify_now=densify)
         return metrics
 
-    def auto_train(self, steps: int, on_step=None, rate_limit=None) -> None:
+    def auto_train(self, steps: int, on_step=None, rate_limit=None,
+                   checkpoint_dir: Optional[str] = None,
+                   checkpoint_every: int = 0) -> None:
         """Reference auto-train loop: randomized re-capture every
-        intervalCapture iters, densify every intervalDensify."""
+        intervalCapture iters, densify every intervalDensify.  Optional
+        crash-recovery checkpoints (binary .npz, io/checkpoint.py) every
+        ``checkpoint_every`` iterations."""
+        import warnings
+
+        from gaussian_splatterer_tpu.io.checkpoint import save_checkpoint
 
         def log_step(it, metrics):
             # pass device scalars through unconverted: the logger only
             # materializes them on emitting iterations, so the training loop
             # never blocks on a device->host sync just to log
             self.logger.log_step(it, metrics.loss, self.model.count)
+            if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, "latest.npz"),
+                    self.model, self.project,
+                )
+            if self.project.intervalDensify and it % (
+                10 * max(self.project.intervalDensify, 1)
+            ) == 0:
+                stats = self.trainer.binning_stats()
+                if stats["overflow"]:
+                    warnings.warn(
+                        f"binning duplicate buffer overflow: {stats['num_dup']} "
+                        f"> max_dup={stats['max_dup']}; deepest splats are "
+                        "dropped — raise RuntimeConfig.max_dup"
+                    )
             if on_step is not None:
                 on_step(it, metrics)
 
@@ -121,6 +144,17 @@ class Session:
             self.trainer, self.rtx, steps, rng=self.rng,
             on_step=log_step, rate_limit=rate_limit,
         )
+
+    def resume_from_checkpoint(self, checkpoint_dir: str) -> None:
+        from gaussian_splatterer_tpu.io.checkpoint import load_checkpoint
+
+        model, project = load_checkpoint(
+            os.path.join(checkpoint_dir, "latest.npz")
+        )
+        self.model = model
+        if project is not None:
+            self.project = project
+            self.trainer.project = project
 
     # -- project persistence (reference src/ui/UiFrame.cpp:323-450) -----
     def save_project(self, directory: str) -> None:

@@ -303,6 +303,38 @@ class Trainer:
         return metrics
 
     # ------------------------------------------------------------------
+    def binning_stats(self, camera_index: int = 0) -> dict:
+        """Duplicate-buffer utilization for one truth camera: num_dup over
+        max_dup.  >1.0 means overflow — the deepest duplicates are dropped
+        and max_dup should be raised (RuntimeConfig.max_dup)."""
+        from gaussian_splatterer_tpu.ops.binning import bin_splats
+        from gaussian_splatterer_tpu.ops.transforms import project_splat_components
+
+        if self.truth_cams is None:
+            raise RuntimeError("no truth cameras captured")
+        i = camera_index
+        m = self.model
+        c = project_splat_components(
+            m.means, m.shs, m.scales, m.opacities, m.rotations, m.active_mask(),
+            self.truth_cams.view[i], self.truth_cams.proj_view[i],
+            self.truth_cams.cam_pos[i], self.truth_cams.tan_fovx[i],
+            self.truth_cams.tan_fovy[i],
+            self.runtime.render_resolution_x, self.runtime.render_resolution_y,
+            self.runtime.sh_degree, 1.0,
+        )
+        bins = bin_splats(
+            c, self.runtime.render_resolution_x, self.runtime.render_resolution_y,
+            self.runtime.tile_px, self.runtime.max_dup, 128,
+        )
+        num = int(bins.num_dup)
+        return {
+            "num_dup": num,
+            "max_dup": self.runtime.max_dup,
+            "utilization": num / self.runtime.max_dup,
+            "overflow": num > self.runtime.max_dup,
+        }
+
+    # ------------------------------------------------------------------
     def render(
         self,
         camera: Camera,

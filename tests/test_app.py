@@ -108,3 +108,27 @@ def test_cli_workflow(obj_path, tmp_path):
         "--resolution", "32", "--capacity", "256",
     ])
     assert os.path.exists(png)
+
+
+def test_auto_train_checkpointing(obj_path, tmp_path):
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("mono")
+    ckdir = str(tmp_path / "ck")
+    s.auto_train(3, checkpoint_dir=ckdir, checkpoint_every=1)
+    assert os.path.exists(os.path.join(ckdir, "latest.npz"))
+
+    s2 = tiny_session()
+    s2.resume_from_checkpoint(ckdir)
+    assert s2.project.iterations >= 2
+    assert int(s2.model.count) == int(s.model.count)
+
+
+def test_binning_stats(obj_path):
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("mono")
+    s.capture()
+    stats = s.trainer.binning_stats()
+    assert 0 <= stats["num_dup"] <= stats["max_dup"]
+    assert not stats["overflow"]
