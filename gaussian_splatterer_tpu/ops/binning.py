@@ -63,6 +63,56 @@ def work_capacity(num_tiles: int, max_dup: int, chunk: int) -> int:
     return 2 * num_tiles + max_dup // chunk
 
 
+class TwoPassWork(NamedTuple):
+    """Work list for the fused train kernel: each tile's chunks appear twice
+    back-to-back — a forward compositing pass, then a gradient replay pass.
+
+    W2 = 2 * work_capacity."""
+
+    work_tile: jax.Array  # (W2,) int32
+    work_block: jax.Array  # (W2,) int32
+    is_first: jax.Array  # (W2,) 1 on the tile's first pass-1 chunk
+    is_last_p1: jax.Array  # (W2,) 1 on the tile's last pass-1 chunk
+    is_pass2: jax.Array  # (W2,) 1 during the gradient replay pass
+    is_pad: jax.Array  # (W2,) 1 for padding items
+    slab_segment: jax.Array  # (W2,) feature-block id for pass-2 slabs, else B
+
+
+def make_two_pass_worklist(
+    bins: TileBins, num_tiles: int, max_dup: int, chunk: int
+) -> TwoPassWork:
+    i32 = jnp.int32
+    num_blocks = max_dup // chunk
+    start_blk = bins.tile_start // chunk
+    n_chunks = jnp.maximum(1, -(-bins.tile_end // chunk) - start_blk)
+    n2 = 2 * n_chunks
+    w_offs = jnp.cumsum(n2)
+    w_actual = w_offs[-1]
+    w_cap2 = 2 * work_capacity(num_tiles, max_dup, chunk)
+    w = jnp.arange(w_cap2, dtype=i32)
+    wt = jnp.minimum(
+        jnp.searchsorted(w_offs, w, side="right").astype(i32), num_tiles - 1
+    )
+    l = w - (w_offs - n2)[wt]
+    npass = n_chunks[wt]
+    is_pass2 = l >= npass
+    c = l - jnp.where(is_pass2, npass, 0)
+    wb = jnp.clip(start_blk[wt] + c, 0, num_blocks - 1)
+    pad = w >= w_actual
+    is_first = (~pad) & (~is_pass2) & (c == 0)
+    is_last_p1 = (~pad) & (~is_pass2) & (c == npass - 1)
+    slab_segment = jnp.where((~pad) & is_pass2, wb, num_blocks)
+    return TwoPassWork(
+        work_tile=wt,
+        work_block=wb.astype(i32),
+        is_first=is_first.astype(i32),
+        is_last_p1=is_last_p1.astype(i32),
+        is_pass2=(is_pass2 & ~pad).astype(i32),
+        is_pad=pad.astype(i32),
+        slab_segment=slab_segment.astype(i32),
+    )
+
+
 def tile_aabb(mx, my, radius, tile: int, tx_tiles: int, ty_tiles: int):
     """Per-splat covered tile rectangle [x0, x1) x [y0, y1), INRIA getRect
     semantics (floor((p - r)/tile) .. floor((p + r + tile - 1)/tile), clipped).

@@ -311,6 +311,295 @@ def _bwd_body(
     acc[:, 4:5] = alive_out
 
 
+def _train_kernel(
+    work_tile,
+    work_block,
+    is_first,
+    is_last_p1,
+    is_pass2,
+    is_pad,
+    tstart_arr,
+    tend_arr,
+    feat_ref,
+    truth_ref,  # (1, P, 3) pre-tiled truth image for this tile
+    bg_ref,  # (1, 4) SMEM background rgb
+    res_ref,  # out (1, P, 4): [residual rgb, t_final]
+    dfeat_ref,  # out (1, 16, chunk) per-work-item gradient slab
+    acc,  # (P, 8): pass1 C rgb + T + alive; pass2 gC_in + T + alive
+    acc2,  # (P, 8): [residual rgb, g_t, g_ctot, t_n]
+    *,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+):
+    """Fused per-tile forward + residual + backward replay (training path).
+
+    Pass 1 composites the tile (same math as _fwd_kernel) into acc; at the
+    tile's last pass-1 chunk the signed residual against the truth tile is
+    formed IN VMEM (no image/gin HBM round-trips) and stashed in acc2;
+    pass 2 replays the chunks computing gradient slabs (same math as
+    _bwd_kernel with the g.C fold, g := residual per reference semantics
+    src/Trainer.cu:33-44)."""
+    w = pl.program_id(0)
+    t = work_tile[w]
+    blk = work_block[w]
+    p_count = tile * tile
+
+    @pl.when(is_pad[w] == 1)
+    def _():
+        dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
+
+    @pl.when((is_pad[w] == 0) & (is_pass2[w] == 0))
+    def _():
+        @pl.when(is_first[w] == 1)
+        def _():
+            acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
+            acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
+            acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
+
+        a, _, _, _, _, _, _ = _chunk_state(
+            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+        )
+        t_in = acc[:, 3:4]
+        alive = acc[:, 4:5]
+        weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
+        cr = feat_ref[_F_CR : _F_CR + 1, :]
+        cg = feat_ref[_F_CG : _F_CG + 1, :]
+        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+        acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
+        acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
+        acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+        acc[:, 3:4] = t_out
+        acc[:, 4:5] = alive_out
+        dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
+
+        @pl.when(is_last_p1[w] == 1)
+        def _():
+            bg_r = bg_ref[0, 0]
+            bg_g = bg_ref[0, 1]
+            bg_b = bg_ref[0, 2]
+            t_n = acc[:, 3:4]
+            res_r = truth_ref[0, :, 0:1] - (acc[:, 0:1] + t_n * bg_r)
+            res_g = truth_ref[0, :, 1:2] - (acc[:, 1:2] + t_n * bg_g)
+            res_b = truth_ref[0, :, 2:3] - (acc[:, 2:3] + t_n * bg_b)
+            acc2[:, 0:1] = res_r
+            acc2[:, 1:2] = res_g
+            acc2[:, 2:3] = res_b
+            acc2[:, 3:4] = res_r * bg_r + res_g * bg_g + res_b * bg_b  # g_t
+            acc2[:, 4:5] = (
+                res_r * acc[:, 0:1] + res_g * acc[:, 1:2] + res_b * acc[:, 2:3]
+            )  # g . C_total
+            acc2[:, 5:6] = t_n
+            res_ref[0] = jnp.concatenate([res_r, res_g, res_b, t_n], axis=1)
+            # re-arm acc for the replay pass
+            acc[:, 0:1] = jnp.zeros((p_count, 1), jnp.float32)
+            acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
+            acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
+
+    @pl.when((is_pad[w] == 0) & (is_pass2[w] == 1))
+    def _():
+        a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
+            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+        )
+        t_in = acc[:, 3:4]
+        alive = acc[:, 4:5]
+        weight, t_k, a_eff, keep, t_out, alive_out = _composite_chunk(a, t_in, alive)
+
+        cr = feat_ref[_F_CR : _F_CR + 1, :]
+        cg = feat_ref[_F_CG : _F_CG + 1, :]
+        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+        g_r = acc2[:, 0:1]
+        g_g = acc2[:, 1:2]
+        g_b = acc2[:, 2:3]
+        g_t = acc2[:, 3:4]
+        g_ctot = acc2[:, 4:5]
+        t_n = acc2[:, 5:6]
+
+        d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
+        d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
+        d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
+
+        gc = g_r * cr + g_g * cg + g_b * cb2
+        cum_gwc = _cumsum_lanes(weight * gc)
+        g_s = g_ctot - (acc[:, 0:1] + cum_gwc)
+
+        inv1ma = 1.0 / (1.0 - a_eff)
+        d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
+        grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
+        d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
+
+        d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
+        d_power = d_alpha * alpha_raw
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+        d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+
+        zero_rows = jnp.zeros((_F_ROWS - 9, chunk), jnp.float32)
+        dfeat_ref[0] = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op, zero_rows],
+            axis=0,
+        )
+
+        acc[:, 0:1] += cum_gwc[:, -1:]
+        acc[:, 3:4] = t_out
+        acc[:, 4:5] = alive_out
+
+
+def composite_train_tiles(
+    feat16: jax.Array,
+    truth_tiles: jax.Array,  # (T, P, 3)
+    background: jax.Array,  # (3,)
+    bins: TileBins,
+    num_tiles: int,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+    max_dup: int,
+    interpret: bool,
+):
+    """Fused training composite: one kernel pass produces the per-tile
+    signed residual AND the duplicate-feature gradients (g := residual).
+
+    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat16 (16, D)).
+    Gradients are returned as data, not via autodiff — chain them through
+    the projection with jax.vjp at the call site."""
+    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
+
+    p_count = tile * tile
+    num_blocks = max_dup // chunk
+    w2 = make_two_pass_worklist(bins, num_tiles, max_dup, chunk)
+    w_cap2 = w2.work_tile.shape[0]
+    kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk)
+    bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(w_cap2,),
+        in_specs=[
+            pl.BlockSpec(
+                (_F_ROWS, chunk),
+                lambda w, wt, wb, *_: (0, wb[w]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, p_count, 3),
+                lambda w, wt, wb, *_: (wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, p_count, 4),
+                lambda w, wt, wb, *_: (wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _F_ROWS, chunk),
+                lambda w, wt, wb, *_: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p_count, 8), jnp.float32),
+            pltpu.VMEM((p_count, 8), jnp.float32),
+        ],
+    )
+    res4, dfeat_slabs = pl.pallas_call(
+        functools.partial(_train_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, p_count, 4), jnp.float32),
+            jax.ShapeDtypeStruct((w_cap2, _F_ROWS, chunk), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        w2.work_tile,
+        w2.work_block,
+        w2.is_first,
+        w2.is_last_p1,
+        w2.is_pass2,
+        w2.is_pad,
+        bins.tile_start,
+        bins.tile_end,
+        feat16,
+        truth_tiles,
+        bg4,
+    )
+    dfeat_blocks = jax.ops.segment_sum(
+        dfeat_slabs, w2.slab_segment, num_segments=num_blocks + 1
+    )[:num_blocks]
+    d_feat16 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(_F_ROWS, max_dup)
+    return res4, d_feat16
+
+
+def render_train_grads(
+    means, shs, scales, opacities, rotations, active,
+    view, proj_view, cam_pos, tan_fovx, tan_fovy,
+    width: int, height: int, truth_tiles, background, sh_degree: int,
+    *,
+    tile: int = 32,
+    chunk: int = 128,
+    max_dup: int = 2**18,
+    interpret: bool | None = None,
+):
+    """Fused training step core for ONE frame: returns
+    (loss_mean, grads tuple, residual_tiles).
+
+    grads follow the reference convention (J^T residual — the *negative*
+    L2 gradient, applied with += by the SGD step, src/Trainer.cu:81-101).
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+    background = jnp.asarray(background, jnp.float32)
+
+    params = (means, shs, scales, opacities, rotations)
+
+    def project_p(p):
+        means_, shs_, scales_, opac_, rot_ = p
+        return project_splat_components(
+            means_, shs_, scales_, opac_, rot_, active,
+            view, proj_view, cam_pos, tan_fovx, tan_fovy,
+            width, height, sh_degree, 1.0,
+        )
+
+    # binning on the (stop-gradient) projection; the duplicate forward
+    # projection inside the vjp below is CSE'd by XLA (identical subgraph)
+    bins = bin_splats(
+        jax.lax.stop_gradient(project_p(params)),
+        width, height, tile, max_dup, chunk,
+    )
+
+    def build_feat16(p):
+        proj = project_p(p)
+        feat_rows = jnp.stack(
+            [proj.mx, proj.my, proj.ca, proj.cb, proj.cc,
+             proj.cr, proj.cg, proj.cb2, proj.opacity], axis=-1,
+        )
+        gathered = feat_rows[bins.gather_idx]
+        return (
+            jnp.zeros((max_dup, _F_ROWS), jnp.float32).at[:, :9].set(gathered).T
+        )
+
+    feat16, pull = jax.vjp(build_feat16, params)
+    res4, d_feat16 = composite_train_tiles(
+        feat16, truth_tiles, background, bins,
+        num_tiles, tile, tx_tiles, chunk, max_dup, interpret,
+    )
+    grads = pull(d_feat16)[0]
+    residual = res4[..., 0:3]
+    loss = jnp.mean(jnp.square(residual))
+    return loss, grads, res4
+
+
 def _make_composite(
     bins: TileBins,
     num_tiles: int,

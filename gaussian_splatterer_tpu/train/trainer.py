@@ -122,6 +122,8 @@ def make_train_step(
     renderer: str = "oracle",
     row_chunk: int = 32,
     render_fn: Optional[RenderFn] = None,
+    fused: bool = False,
+    fused_opts: Optional[dict] = None,
 ):
     """Build a jitted (model, truths, cams, lrs) -> (model', metrics) step.
 
@@ -130,8 +132,16 @@ def make_train_step(
     When ``render_fn`` produces tile-space images (render_tiled_tiles),
     truths must be pre-tiled to (2F, T, P, 3) with image_to_tiles — the
     residual/loss math is shape-agnostic.
+
+    ``fused=True`` uses the single-pass Pallas train kernel
+    (ops.raster_tiled.render_train_grads): forward, residual, and gradient
+    replay in one launch over pre-tiled truths — no per-frame image/gin
+    HBM round-trips.  fused_opts forwards tile/chunk/max_dup.
     """
     render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
+    fkw = fused_opts or {}
+    if fused:
+        from gaussian_splatterer_tpu.ops.raster_tiled import render_train_grads
 
     @jax.jit
     def step(model: SplatModel, truths: jax.Array, cams: CameraBatch, lrs: LearningRates):
@@ -151,19 +161,26 @@ def make_train_step(
             avg, var, loss_sum = carry
             truth, view, pv, pos, tx, ty, bg = xs
 
-            def fwd(p):
-                means, shs, scales, opac, rot = p
-                return render(
-                    means, shs, scales, opac, rot, active,
-                    view, pv, pos, tx, ty, width, height, bg, sh_degree, 1.0,
+            if fused:
+                loss, g, _ = render_train_grads(
+                    *params, active, view, pv, pos, tx, ty,
+                    width, height, truth, bg, sh_degree, **fkw,
                 )
+            else:
+                def fwd(p):
+                    means, shs, scales, opac, rot = p
+                    return render(
+                        means, shs, scales, opac, rot, active,
+                        view, pv, pos, tx, ty, width, height, bg, sh_degree, 1.0,
+                    )
 
-            img, pull = jax.vjp(fwd, params)
-            residual = truth - img  # signed difference = -dL/dpixel of L2/2
-            g = pull(residual)[0]
+                img, pull = jax.vjp(fwd, params)
+                residual = truth - img  # signed diff = -dL/dpixel of L2/2
+                g = pull(residual)[0]
+                loss = jnp.mean(jnp.square(residual))
             avg = jax.tree.map(lambda a, gi: a + gi / samples, avg, g)
             var = var + jnp.linalg.norm(g[0], axis=-1) / samples
-            loss_sum = loss_sum + jnp.mean(jnp.square(residual))
+            loss_sum = loss_sum + loss
             return (avg, var, loss_sum), None
 
         avg0 = jax.tree.map(jnp.zeros_like, params)
@@ -232,18 +249,19 @@ class Trainer:
         # forward + two backward)
         self._tile_space = 0
         step_render = render_fn
+        fused = False
+        fused_opts = None
         if (
             renderer == "tiled"
             and render_fn is self._render_fn
             and runtime.render_resolution_x % runtime.tile_px == 0
             and runtime.render_resolution_y % runtime.tile_px == 0
         ):
-            from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled_tiles
-
+            # tile-space + fused single-pass train kernel (fwd + residual +
+            # gradient replay in one Pallas launch per frame)
             self._tile_space = runtime.tile_px
-            step_render = partial(
-                render_tiled_tiles, tile=runtime.tile_px, max_dup=runtime.max_dup
-            )
+            fused = True
+            fused_opts = dict(tile=runtime.tile_px, max_dup=runtime.max_dup)
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,
@@ -251,6 +269,8 @@ class Trainer:
             renderer=renderer,
             row_chunk=row_chunk,
             render_fn=step_render,
+            fused=fused,
+            fused_opts=fused_opts,
         )
 
     # ------------------------------------------------------------------

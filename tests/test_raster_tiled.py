@@ -193,3 +193,50 @@ def test_tiles_match_image_render():
     np.testing.assert_array_equal(
         np.asarray(tiles_to_image(tiles, W, H, TILE)), np.asarray(img)
     )
+
+
+def test_fused_train_grads_match_vjp_path():
+    """The fused per-tile fwd+residual+bwd kernel == jax.vjp of the tiles
+    renderer with the signed-residual cotangent (the training semantics)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles,
+        render_tiled_tiles,
+        render_train_grads,
+    )
+
+    params = random_splats(40, 21)[:5]
+    active = random_splats(40, 21)[5]
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+    rng = np.random.default_rng(3)
+    truth = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    truth_tiles = image_to_tiles(truth, TILE)
+
+    # reference path: render tiles, vjp with residual cotangent
+    def render_fn(p):
+        return render_tiled_tiles(
+            *p, active, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+            tile=TILE, max_dup=2**12, interpret=True,
+        )
+
+    img_tiles, pull = jax.vjp(render_fn, params)
+    residual = truth_tiles - img_tiles
+    g_ref = pull(residual)[0]
+    loss_ref = jnp.mean(jnp.square(residual))
+
+    loss_f, g_fused, res4 = render_train_grads(
+        *params, active, view, pv, pos, tx, ty, W, H, truth_tiles, bg, 1,
+        tile=TILE, max_dup=2**12, interpret=True,
+    )
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res4[..., 0:3]), np.asarray(residual), atol=1e-5
+    )
+    names = ["means", "shs", "scales", "opacities", "rotations"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
+            err_msg=f"fused gradient mismatch: {name}",
+        )
