@@ -6,6 +6,14 @@ anchor: the 100 steps/s auto-train budget (src/Config.h:10) at its default
 16-camera rig = 32 rasterize fwd+bwd frames per step, i.e. a frame budget
 of 1000/(100*32) = 0.3125 ms/frame.  vs_baseline = budget / measured
 (>1 means faster than the reference's aspirational ceiling).
+
+The measured path is the production training fast path: the frame-BATCHED
+fused Pallas kernel (binning + forward + signed residual + gradient replay,
+ops/raster_tiled.render_train_grads_batch) — the same code driving
+Trainer/auto-train.  Before timing, an on-TPU numerics gate asserts the
+tiled forward matches the per-pixel oracle on the real chip (the bf16
+ray-NaN class of regression fails the bench loudly instead of silently
+shipping bad numerics).
 """
 
 import json
@@ -20,64 +28,125 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_splatterer_tpu.models.camera import Camera
-from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
+from gaussian_splatterer_tpu.ops.raster_tiled import (
+    image_to_tiles,
+    render_train_grads_batch,
+)
 
 W = H = 1024
 N_SPLATS = 50_000
 CAPACITY = 65_536
 TILE = 32  # measured fastest on v5e (16: 81 ms, 32: 63 ms, 64: VMEM OOM)
 MAX_DUP = 2**18  # ~204k duplicates at this scene/tile; 2x headroom
+FRAMES = 8  # frames per fused launch (the trainer's default frame_group)
 REPS = 30
 REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
 
+# On-TPU numerics gate tolerance: measured max |tiled - oracle| forward
+# deviation is ~6.4e-3 (PERF.md "TPU numerics audit" — residual error from
+# the compositing kernel's MXU cumsums); 2e-2 fails loudly on regressions
+# an order of magnitude above that.
+NUMERICS_ATOL = 2e-2
+GATE_RES = 128
+GATE_SPLATS = 150
 
-def build_scene():
-    rng = np.random.default_rng(0)
-    means = np.zeros((CAPACITY, 3), np.float32)
-    means[:N_SPLATS] = rng.uniform(-3, 3, (N_SPLATS, 3))
-    shs = np.zeros((CAPACITY, 4, 3), np.float32)
-    shs[:N_SPLATS] = rng.normal(0, 0.5, (N_SPLATS, 4, 3))
-    scales = np.zeros((CAPACITY, 3), np.float32)
-    scales[:N_SPLATS] = rng.uniform(0.01, 0.08, (N_SPLATS, 3))
-    opac = np.zeros((CAPACITY,), np.float32)
-    opac[:N_SPLATS] = rng.uniform(0.2, 1.0, N_SPLATS)
-    rot = np.zeros((CAPACITY, 4), np.float32)
+
+def build_scene(n_splats, capacity, width, height, n_frames, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.zeros((capacity, 3), np.float32)
+    means[:n_splats] = rng.uniform(-3, 3, (n_splats, 3))
+    shs = np.zeros((capacity, 4, 3), np.float32)
+    shs[:n_splats] = rng.normal(0, 0.5, (n_splats, 4, 3))
+    scales = np.zeros((capacity, 3), np.float32)
+    scales[:n_splats] = rng.uniform(0.01, 0.08, (n_splats, 3))
+    opac = np.zeros((capacity,), np.float32)
+    opac[:n_splats] = rng.uniform(0.2, 1.0, n_splats)
+    rot = np.zeros((capacity, 4), np.float32)
     rot[:, 0] = 1.0
-    rot[:N_SPLATS] = rng.normal(0, 1, (N_SPLATS, 4))
-    active = np.arange(CAPACITY) < N_SPLATS
-    cam = Camera(
-        np.array([0.3, -0.2, -10.0], np.float32), np.zeros(3, np.float32), 60.0
+    rot[:n_splats] = rng.normal(0, 1, (n_splats, 4))
+    active = np.arange(capacity) < n_splats
+    cams = [
+        Camera(
+            np.array([0.3 + 0.2 * i, -0.2, -10.0 - 0.5 * i], np.float32),
+            np.zeros(3, np.float32), 60.0,
+        )
+        for i in range(n_frames)
+    ]
+    views = jnp.stack([jnp.asarray(c.get_view()) for c in cams])
+    pvs = jnp.stack([jnp.asarray(c.get_proj_view(1.0)) for c in cams])
+    poss = jnp.stack([jnp.asarray(c.location) for c in cams])
+    tans = np.array(
+        [c.tan_fov(width, height, train=True) for c in cams], np.float32
     )
     return (
         tuple(map(jnp.asarray, (means, shs, scales, opac, rot))),
         jnp.asarray(active),
-        jnp.asarray(cam.get_view()),
-        jnp.asarray(cam.get_proj_view(1.0)),
-        jnp.asarray(cam.location),
-        *cam.tan_fov(W, H, train=True),
+        views, pvs, poss,
+        jnp.asarray(tans[:, 0]), jnp.asarray(tans[:, 1]),
+        cams,
     )
 
 
-def main():
-    params, active, view, pv, pos, tan_x, tan_y = build_scene()
-    bg = jnp.zeros(3, jnp.float32)
+def numerics_gate():
+    """Assert tiled-vs-oracle forward parity ON THE REAL CHIP."""
+    from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+    from gaussian_splatterer_tpu.ops.raster_tiled import render_tiled
 
-    def loss(p):
-        img = render_tiled(
-            *p, active, view, pv, pos, tan_x, tan_y, W, H, bg, 1, 1.0,
+    params, active, views, pvs, poss, txs, tys, cams = build_scene(
+        GATE_SPLATS, 256, GATE_RES, GATE_RES, 1, seed=7
+    )
+    bg = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+    args = (*params, active, views[0], pvs[0], poss[0], txs[0], tys[0],
+            GATE_RES, GATE_RES, bg, 1, 1.0)
+    img_t = np.asarray(
+        jax.jit(lambda: render_tiled(*args, tile=16, max_dup=2**13))()
+    )
+    # oracle runs on CPU (the exact per-pixel reference, tile-granular cull)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cpu_args = jax.device_put(args[:5], cpu) + args[5:]
+        img_o = np.asarray(
+            render_oracle(*cpu_args, row_chunk=16, tile_cull=16)
+        )
+    err = float(np.max(np.abs(img_t - img_o)))
+    if not np.isfinite(img_t).all() or err > NUMERICS_ATOL:
+        raise SystemExit(
+            f"TPU numerics gate FAILED: max|tiled-oracle| = {err:.2e} "
+            f"(allowed {NUMERICS_ATOL}) or non-finite output"
+        )
+    return err
+
+
+def main():
+    gate_err = numerics_gate()
+
+    params, active, views, pvs, poss, txs, tys, cams = build_scene(
+        N_SPLATS, CAPACITY, W, H, FRAMES
+    )
+    rng = np.random.default_rng(1)
+    truths = jnp.asarray(
+        rng.uniform(0, 1, (FRAMES, H, W, 3)).astype(np.float32)
+    )
+    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, TILE))(truths)
+    bgs = jnp.zeros((FRAMES, 3), jnp.float32)
+
+    @jax.jit
+    def fwdbwd(p, tt):
+        loss, grads, var, _, nd = render_train_grads_batch(
+            *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
             tile=TILE, max_dup=MAX_DUP,
         )
-        return jnp.sum(jnp.square(img))
+        return loss, grads, nd
 
-    fwdbwd = jax.jit(lambda p: jax.value_and_grad(loss)(p))
-
-    jax.block_until_ready(fwdbwd(params))  # compile
-    # pipelined timing: dispatch REPS steps, block once (training dispatches
-    # steps back-to-back the same way; amortizes tunnel round-trip latency)
+    out = fwdbwd(params, truth_tiles)  # compile
+    jax.block_until_ready(out)
+    assert int(out[2]) <= MAX_DUP, "bench scene overflows the binning buffer"
+    # pipelined timing: dispatch REPS batched steps, block once (training
+    # dispatches steps back-to-back the same way; amortizes tunnel latency)
     t0 = time.perf_counter()
-    outs = [fwdbwd(params) for _ in range(REPS)]
+    outs = [fwdbwd(params, truth_tiles) for _ in range(REPS)]
     jax.block_until_ready(outs)
-    ms_per_frame = (time.perf_counter() - t0) * 1e3 / REPS
+    ms_per_frame = (time.perf_counter() - t0) * 1e3 / (REPS * FRAMES)
 
     print(
         json.dumps(
@@ -86,6 +155,7 @@ def main():
                 "value": round(ms_per_frame, 2),
                 "unit": "ms/frame",
                 "vs_baseline": round(REFERENCE_FRAME_BUDGET_MS / ms_per_frame, 4),
+                "numerics_gate_max_err": round(gate_err, 5),
             }
         )
     )

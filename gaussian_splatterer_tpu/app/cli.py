@@ -64,6 +64,14 @@ def cmd_train(args):
     session = _make_session(args, require=True)
     if session.rtx.mesh is None:
         raise SystemExit("project has no OBJ model; run `new --obj` first")
+    ckpt_dir = args.checkpoint_dir or os.path.join(args.project, "checkpoints")
+    if args.resume:
+        latest = os.path.join(ckpt_dir, "latest.npz")
+        if os.path.exists(latest):
+            session.resume_from_checkpoint(ckpt_dir)
+            print(f"resumed from {latest} at iter {session.project.iterations}")
+        else:
+            print(f"--resume: no checkpoint at {latest}; starting fresh")
     t0 = time.time()
     last = {"it": session.project.iterations}
 
@@ -76,7 +84,13 @@ def cmd_train(args):
                 flush=True,
             )
 
-    session.auto_train(args.steps, on_step=on_step)
+    session.auto_train(
+        args.steps, on_step=on_step,
+        checkpoint_dir=ckpt_dir if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+        snapshot_dir=args.snapshot_dir or os.path.join(args.project, "snapshots"),
+        snapshot_every=args.snapshot_every,
+    )
     session.save_project(args.project)
     print(f"trained {args.steps} steps in {time.time()-t0:.1f}s; saved")
 
@@ -86,6 +100,8 @@ def cmd_render(args):
     w, h = (int(x) for x in args.size.split("x")) if args.size else (None, None)
     if args.mode == "splats":
         session.export_splats_png(args.output, w, h)
+    elif args.mode == "viewer":
+        session.export_viewer_html(args.output)
     else:
         session.export_rtx_png(args.output, w, h, samples=args.samples)
     print(f"wrote {args.output}")
@@ -139,12 +155,25 @@ def main(argv=None) -> int:
     p_tr.add_argument("--capacity", type=int)
     p_tr.add_argument("--max-dup", type=int, dest="max_dup")
     p_tr.add_argument("--log-every", type=int, default=10)
+    p_tr.add_argument("--checkpoint-every", type=int, default=0,
+                      help="crash-recovery .npz checkpoint every N iters")
+    p_tr.add_argument("--checkpoint-dir",
+                      help="checkpoint directory (default PROJECT/checkpoints)")
+    p_tr.add_argument("--resume", action="store_true",
+                      help="resume from the latest checkpoint if present")
+    p_tr.add_argument("--snapshot-every", type=int, default=0,
+                      help="export a splat-render PNG every N iters (the "
+                           "headless live-preview equivalent)")
+    p_tr.add_argument("--snapshot-dir",
+                      help="snapshot directory (default PROJECT/snapshots)")
     p_tr.set_defaults(fn=cmd_train)
 
     p_re = sub.add_parser("render", help="export a PNG")
     p_re.add_argument("project")
     p_re.add_argument("output")
-    p_re.add_argument("--mode", choices=["splats", "rtx"], default="splats")
+    p_re.add_argument("--mode", choices=["splats", "rtx", "viewer"],
+                      default="splats",
+                      help="viewer = self-contained interactive HTML")
     p_re.add_argument("--size", help="WxH, e.g. 1024x1024")
     p_re.add_argument("--samples", type=int)
     p_re.add_argument("--renderer", choices=["tiled", "oracle"], default="tiled")

@@ -107,16 +107,24 @@ class Session:
 
     def auto_train(self, steps: int, on_step=None, rate_limit=None,
                    checkpoint_dir: Optional[str] = None,
-                   checkpoint_every: int = 0) -> None:
+                   checkpoint_every: int = 0,
+                   snapshot_dir: Optional[str] = None,
+                   snapshot_every: int = 0) -> None:
         """Reference auto-train loop: randomized re-capture every
         intervalCapture iters, densify every intervalDensify.  Optional
         crash-recovery checkpoints (binary .npz, io/checkpoint.py) every
-        ``checkpoint_every`` iterations."""
-        import warnings
-
+        ``checkpoint_every`` iterations, and a PNG snapshot series every
+        ``snapshot_every`` iterations — the headless stand-in for the
+        reference's live splat-preview panel
+        (src/ui/UiPanelViewOutput.cpp:52-70)."""
         from gaussian_splatterer_tpu.io.checkpoint import save_checkpoint
 
         def log_step(it, metrics):
+            if snapshot_dir and snapshot_every and it % snapshot_every == 0:
+                os.makedirs(snapshot_dir, exist_ok=True)
+                self.export_splats_png(
+                    os.path.join(snapshot_dir, f"iter_{it:06d}.png")
+                )
             # pass device scalars through unconverted: the logger only
             # materializes them on emitting iterations, so the training loop
             # never blocks on a device->host sync just to log
@@ -127,16 +135,13 @@ class Session:
                     os.path.join(checkpoint_dir, "latest.npz"),
                     self.model, self.project,
                 )
-            if self.project.intervalDensify and it % (
-                10 * max(self.project.intervalDensify, 1)
+            # binning-overflow auto-recovery at the capture cadence (capture
+            # itself syncs the host, so the num_dup read is free); densify
+            # steps also check inside Trainer.train
+            if self.project.intervalCapture and it % max(
+                self.project.intervalCapture, 1
             ) == 0:
-                stats = self.trainer.binning_stats()
-                if stats["overflow"]:
-                    warnings.warn(
-                        f"binning duplicate buffer overflow: {stats['num_dup']} "
-                        f"> max_dup={stats['max_dup']}; deepest splats are "
-                        "dropped — raise RuntimeConfig.max_dup"
-                    )
+                self.trainer.maybe_grow_dup_buffer(metrics)
             if on_step is not None:
                 on_step(it, metrics)
 
@@ -220,3 +225,10 @@ class Session:
         h = height or self.project.renderResY
         img = self.render_rtx(w, h, samples=samples)
         save_png(np.asarray(jnp.clip(img, 0, 1)), path)
+
+    def export_viewer_html(self, path: str) -> None:
+        """Self-contained interactive WebGL viewer (the shareable stand-in
+        for the reference's live preview panels, io/viewer.py)."""
+        from gaussian_splatterer_tpu.io.viewer import export_viewer_html
+
+        export_viewer_html(self.model, path)

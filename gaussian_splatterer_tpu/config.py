@@ -159,6 +159,12 @@ class RuntimeConfig:
     tile_px: int = 32  # rasterizer tile edge (16/32; 32 measured fastest on v5e)
     max_dup: int = 2**21  # max splat-tile duplicate pairs per frame (binning capacity)
     rt_bounces: int = 50  # path-tracer bounce cap (reference src/rtx/RtxDevice.cu:23)
+    frame_group: int = 8  # frames per fused-kernel launch (bounds transient HBM)
+    # 3DGS-style exponential location-LR decay, applied as
+    # lrLocation * decay^iterations.  1.0 = off (reference parity: the
+    # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes
+    # several dB on long runs by letting positions settle.
+    lr_location_decay: float = 1.0
 
     def save(self, path: str) -> None:
         with open(path, "w") as fh:

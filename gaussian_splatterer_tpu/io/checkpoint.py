@@ -10,6 +10,7 @@ bit-exact resume.  .gobj remains the interop format with the reference.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -36,7 +37,12 @@ def save_checkpoint(path: str, model: SplatModel, project: Optional[Project] = N
         payload["project_json"] = np.frombuffer(
             json.dumps(project.to_json()).encode(), dtype=np.uint8
         )
-    np.savez(path, **payload)
+    # atomic replace: a crash mid-write (the scenario checkpoints exist for)
+    # must not corrupt the previous checkpoint at `path`
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Tuple[SplatModel, Optional[Project]]:

@@ -156,14 +156,21 @@ def bin_splats(
     x0, y0, x1, y1 = tile_aabb(mx, my, rad, tile, tx_tiles, ty_tiles)
     spans_x = jnp.maximum(x1 - x0, 0)
     ntiles = jnp.where(vld, spans_x * jnp.maximum(y1 - y0, 0), 0)
-    offs = jnp.cumsum(ntiles)  # inclusive
-    total = offs[-1]
+    offs = jnp.cumsum(ntiles)  # inclusive, int32
     offs_excl = offs - ntiles
+    # The int32 cumsum can wrap past 2^31 duplicates (wide splats x many
+    # tiles).  A parallel f32 cumsum is monotone and accurate to ~2^-24
+    # relative, so it gates which prefixes are trusted: splats whose true
+    # start is < max_dup have an exact (un-wrapped) int32 prefix; everything
+    # past max_dup is dropped anyway.  num_dup telemetry saturates instead
+    # of wrapping negative.
+    offs_f = jnp.cumsum(ntiles.astype(jnp.float32))
+    total = jnp.minimum(offs_f[-1], jnp.float32(2**31 - 2**8)).astype(i32)
 
     # pair d -> depth-ordered splat: scatter each non-empty splat's index+1 at
     # its first duplicate position, then a running max fills the gaps.
     splat_idx = jnp.arange(n, dtype=i32)
-    nonempty = ntiles > 0
+    nonempty = (ntiles > 0) & (offs_f - ntiles.astype(jnp.float32) < max_dup)
     starts = jnp.where(nonempty, offs_excl, max_dup)  # dropped when == max_dup
     seed = (
         jnp.zeros((max_dup,), i32).at[starts].max(splat_idx + 1, mode="drop")
@@ -180,9 +187,16 @@ def bin_splats(
 
     d = jnp.arange(max_dup, dtype=i32)
     local = (d - oe).astype(jnp.float32)
-    winv = 1.0 / jnp.maximum(wdt, 1).astype(jnp.float32)
-    row = jnp.floor(local * winv)  # exact: local < 2^24, wdt small
-    col = local - row * wdt.astype(jnp.float32)
+    wf = jnp.maximum(wdt, 1).astype(jnp.float32)
+    # reciprocal-multiply floor can undershoot by exactly 1 at exact
+    # multiples (e.g. floor(41 * f32(1/41)) == 0); it can never overshoot
+    # for local < 2^24 and row < 2^16, so one conditional correction after
+    # computing the remainder makes the quotient exact.
+    row = jnp.floor(local * (1.0 / wf))
+    col = local - row * wf
+    under = col >= wf
+    row = row + under.astype(jnp.float32)
+    col = col - jnp.where(under, wf, 0.0)
     tyv = gy0 + row.astype(i32)
     txv = gx0 + col.astype(i32)
     dup_valid = d < jnp.minimum(total, max_dup)

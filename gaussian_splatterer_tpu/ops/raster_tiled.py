@@ -311,18 +311,24 @@ def _bwd_body(
     acc[:, 4:5] = alive_out
 
 
+# work-item flag bits for the fused train kernel (packed into ONE prefetch
+# array — scalar-prefetch operands live in SMEM, which is small, and the
+# frame-batched path carries frames x work-capacity items)
+_FL_FIRST = 1  # tile's first pass-1 chunk
+_FL_LAST_P1 = 2  # tile's last pass-1 chunk (residual forms here)
+_FL_PASS2 = 4  # gradient-replay pass
+_FL_PAD = 8  # padding item: skip all compute
+
+
 def _train_kernel(
     work_tile,
     work_block,
-    is_first,
-    is_last_p1,
-    is_pass2,
-    is_pad,
+    flags,
     tstart_arr,
     tend_arr,
     feat_ref,
     truth_ref,  # (1, P, 3) pre-tiled truth image for this tile
-    bg_ref,  # (1, 4) SMEM background rgb
+    bg_ref,  # (F, 4) SMEM per-frame background rgb
     res_ref,  # out (1, P, 4): [residual rgb, t_final]
     dfeat_ref,  # out (1, 16, chunk) per-work-item gradient slab
     acc,  # (P, 8): pass1 C rgb + T + alive; pass2 gC_in + T + alive
@@ -331,6 +337,7 @@ def _train_kernel(
     tile: int,
     tx_tiles: int,
     chunk: int,
+    tiles_frame: int,
 ):
     """Fused per-tile forward + residual + backward replay (training path).
 
@@ -339,26 +346,33 @@ def _train_kernel(
     formed IN VMEM (no image/gin HBM round-trips) and stashed in acc2;
     pass 2 replays the chunks computing gradient slabs (same math as
     _bwd_kernel with the g.C fold, g := residual per reference semantics
-    src/Trainer.cu:33-44)."""
+    src/Trainer.cu:33-44).
+
+    Frame-batched operation: ``work_tile`` carries GLOBAL tile ids over a
+    (frame, tile) flattening; ``tiles_frame`` recovers the in-image tile
+    (pixel origin) and the frame (background row)."""
     w = pl.program_id(0)
     t = work_tile[w]
+    t_img = t % tiles_frame
+    frame = t // tiles_frame
     blk = work_block[w]
+    fl = flags[w]
     p_count = tile * tile
 
-    @pl.when(is_pad[w] == 1)
+    @pl.when(fl & _FL_PAD != 0)
     def _():
         dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
 
-    @pl.when((is_pad[w] == 0) & (is_pass2[w] == 0))
+    @pl.when((fl & (_FL_PAD | _FL_PASS2)) == 0)
     def _():
-        @pl.when(is_first[w] == 1)
+        @pl.when(fl & _FL_FIRST != 0)
         def _():
             acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
         a, _, _, _, _, _, _ = _chunk_state(
-            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
         )
         t_in = acc[:, 3:4]
         alive = acc[:, 4:5]
@@ -373,11 +387,11 @@ def _train_kernel(
         acc[:, 4:5] = alive_out
         dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
 
-        @pl.when(is_last_p1[w] == 1)
+        @pl.when(fl & _FL_LAST_P1 != 0)
         def _():
-            bg_r = bg_ref[0, 0]
-            bg_g = bg_ref[0, 1]
-            bg_b = bg_ref[0, 2]
+            bg_r = bg_ref[frame, 0]
+            bg_g = bg_ref[frame, 1]
+            bg_b = bg_ref[frame, 2]
             t_n = acc[:, 3:4]
             res_r = truth_ref[0, :, 0:1] - (acc[:, 0:1] + t_n * bg_r)
             res_g = truth_ref[0, :, 1:2] - (acc[:, 1:2] + t_n * bg_g)
@@ -396,10 +410,10 @@ def _train_kernel(
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
-    @pl.when((is_pad[w] == 0) & (is_pass2[w] == 1))
+    @pl.when((fl & (_FL_PAD | _FL_PASS2)) == _FL_PASS2)
     def _():
         a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
         )
         t_in = acc[:, 3:4]
         alive = acc[:, 4:5]
@@ -447,36 +461,45 @@ def _train_kernel(
         acc[:, 4:5] = alive_out
 
 
-def composite_train_tiles(
-    feat16: jax.Array,
-    truth_tiles: jax.Array,  # (T, P, 3)
-    background: jax.Array,  # (3,)
-    bins: TileBins,
-    num_tiles: int,
+def _worklist_flags(w2) -> jax.Array:
+    """Pack the four TwoPassWork booleans into one int32 bitfield array
+    (scalar-prefetch operands live in small SMEM; frame batching multiplies
+    the work-list length by the group size)."""
+    return (
+        w2.is_first * _FL_FIRST
+        + w2.is_last_p1 * _FL_LAST_P1
+        + w2.is_pass2 * _FL_PASS2
+        + w2.is_pad * _FL_PAD
+    ).astype(jnp.int32)
+
+
+def _composite_train_flat(
+    feat16: jax.Array,  # (16, num_blocks_total * chunk)
+    truth_tiles: jax.Array,  # (T_total, P, 3) — frames flattened into tiles
+    bg_f4: jax.Array,  # (F, 4) per-frame background
+    work_tile: jax.Array,  # (W,) GLOBAL tile ids (frame-major)
+    work_block: jax.Array,  # (W,) GLOBAL feature-block ids
+    flags: jax.Array,  # (W,) packed _FL_* bits
+    slab_segment: jax.Array,  # (W,) global block id for pass-2 slabs, else B_total
+    tstart: jax.Array,  # (T_total,) global duplicate range starts
+    tend: jax.Array,  # (T_total,)
+    num_blocks_total: int,
     tile: int,
     tx_tiles: int,
     chunk: int,
-    max_dup: int,
+    tiles_frame: int,
     interpret: bool,
 ):
-    """Fused training composite: one kernel pass produces the per-tile
-    signed residual AND the duplicate-feature gradients (g := residual).
-
-    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat16 (16, D)).
-    Gradients are returned as data, not via autodiff — chain them through
-    the projection with jax.vjp at the call site."""
-    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
-
+    """Run the fused train kernel over a flat (possibly multi-frame) work
+    list.  Returns (res4 (T_total, P, 4), d_feat16 (16, B_total*chunk))."""
     p_count = tile * tile
-    num_blocks = max_dup // chunk
-    w2 = make_two_pass_worklist(bins, num_tiles, max_dup, chunk)
-    w_cap2 = w2.work_tile.shape[0]
-    kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk)
-    bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
+    num_tiles_total = truth_tiles.shape[0]
+    w_cap = work_tile.shape[0]
+    kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(w_cap2,),
+        num_scalar_prefetch=5,
+        grid=(w_cap,),
         in_specs=[
             pl.BlockSpec(
                 (_F_ROWS, chunk),
@@ -510,32 +533,181 @@ def composite_train_tiles(
     res4, dfeat_slabs = pl.pallas_call(
         functools.partial(_train_kernel, **kw),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, p_count, 4), jnp.float32),
-            jax.ShapeDtypeStruct((w_cap2, _F_ROWS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles_total, p_count, 4), jnp.float32),
+            jax.ShapeDtypeStruct((w_cap, _F_ROWS, chunk), jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(
-        w2.work_tile,
-        w2.work_block,
-        w2.is_first,
-        w2.is_last_p1,
-        w2.is_pass2,
-        w2.is_pad,
-        bins.tile_start,
-        bins.tile_end,
-        feat16,
-        truth_tiles,
-        bg4,
-    )
+    )(work_tile, work_block, flags, tstart, tend, feat16, truth_tiles, bg_f4)
     dfeat_blocks = jax.ops.segment_sum(
-        dfeat_slabs, w2.slab_segment, num_segments=num_blocks + 1
-    )[:num_blocks]
-    d_feat16 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(_F_ROWS, max_dup)
+        dfeat_slabs, slab_segment, num_segments=num_blocks_total + 1
+    )[:num_blocks_total]
+    d_feat16 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
+        _F_ROWS, num_blocks_total * chunk
+    )
     return res4, d_feat16
+
+
+def composite_train_tiles(
+    feat16: jax.Array,
+    truth_tiles: jax.Array,  # (T, P, 3)
+    background: jax.Array,  # (3,)
+    bins: TileBins,
+    num_tiles: int,
+    tile: int,
+    tx_tiles: int,
+    chunk: int,
+    max_dup: int,
+    interpret: bool,
+):
+    """Fused training composite for ONE frame: one kernel pass produces the
+    per-tile signed residual AND the duplicate-feature gradients
+    (g := residual).
+
+    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat16 (16, D)).
+    Gradients are returned as data, not via autodiff — chain them through
+    the projection with jax.vjp at the call site."""
+    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
+
+    w2 = make_two_pass_worklist(bins, num_tiles, max_dup, chunk)
+    bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
+    return _composite_train_flat(
+        feat16, truth_tiles, bg4,
+        w2.work_tile, w2.work_block, _worklist_flags(w2), w2.slab_segment,
+        bins.tile_start, bins.tile_end,
+        max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
+    )
+
+
+def render_train_grads_batch(
+    means, shs, scales, opacities, rotations, active,
+    views, proj_views, cam_posns, tan_fovxs, tan_fovys,  # (F, ...) stacks
+    width: int, height: int,
+    truth_tiles,  # (F, T, P, 3) pre-tiled truths
+    backgrounds,  # (F, 3)
+    sh_degree: int,
+    *,
+    tile: int = 32,
+    chunk: int = 128,
+    max_dup: int = 2**18,
+    interpret: bool | None = None,
+):
+    """Frame-BATCHED fused training core: bin all F frames with one vmapped
+    (batched-sort) pass and composite them in ONE Pallas launch over a
+    frame-flattened work list — no per-frame launch/glue (the reference's
+    per-frame loop is src/Trainer.cu:311-425; here the whole truth batch is
+    a single device program).
+
+    Returns (loss_sum, grads, var_loc, res4, num_dup) where
+      loss_sum = sum over frames of per-frame mean squared residual,
+      grads    = per-parameter SUMS over frames of J^T residual (the
+                 reference's negative-L2 convention, src/Trainer.cu:33-44),
+      var_loc  = (C,) sum over frames of per-frame |location-grad| norms
+                 (the densify "variance" signal, src/Trainer.cu:52-54),
+      res4     = (F, T, P, 4) [residual rgb, t_final],
+      num_dup  = () int32 MAX duplicates generated by any frame's binning —
+                 > max_dup means the deepest splats were dropped (the
+                 reference radix-sorts the exact count and cannot truncate,
+                 src/Trainer.cu:334-360; callers should grow max_dup).
+    """
+    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
+
+    if interpret is None:
+        interpret = _should_interpret()
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+    num_blocks = max_dup // chunk
+    f = views.shape[0]
+    i32 = jnp.int32
+    p_count = tile * tile
+
+    # binning on the stop-gradient projection (integer bookkeeping only)
+    def project_one(mns, view, pv, pos, tx, ty):
+        return project_splat_components(
+            mns, shs, scales, opacities, rotations, active,
+            view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
+        )
+
+    proj_sg = jax.lax.stop_gradient(
+        jax.vmap(lambda v, pv, pos, tx, ty: project_one(means, v, pv, pos, tx, ty))(
+            views, proj_views, cam_posns, tan_fovxs, tan_fovys
+        )
+    )
+    bins = jax.vmap(
+        lambda p: bin_splats(p, width, height, tile, max_dup, chunk)
+    )(proj_sg)
+    w2 = jax.vmap(
+        lambda b: make_two_pass_worklist(b, num_tiles, max_dup, chunk)
+    )(bins)
+
+    # flatten to global (frame-major) ids
+    f_col = jnp.arange(f, dtype=i32)[:, None]
+    wt_g = (w2.work_tile + f_col * num_tiles).reshape(-1)
+    wb_g = (w2.work_block + f_col * num_blocks).reshape(-1)
+    flags = _worklist_flags(w2).reshape(-1)
+    seg_g = jnp.where(
+        w2.slab_segment == num_blocks,
+        f * num_blocks,
+        w2.slab_segment + f_col * num_blocks,
+    ).reshape(-1)
+    tstart_g = (bins.tile_start + f_col * max_dup).reshape(-1)
+    tend_g = (bins.tile_end + f_col * max_dup).reshape(-1)
+
+    # Differentiable feature build.  means are broadcast to (F, C, 3) so the
+    # pullback returns PER-FRAME location gradients — the densify variance
+    # signal needs per-frame norms, not just the sum (src/Trainer.cu:52-54).
+    means_b = jnp.broadcast_to(means, (f,) + means.shape)
+
+    def build_feat16(means_b, shs_, scales_, opac_, rot_):
+        def one(mb, view, pv, pos, tx, ty, gidx):
+            pr = project_splat_components(
+                mb, shs_, scales_, opac_, rot_, active,
+                view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
+            )
+            rows = jnp.stack(
+                [pr.mx, pr.my, pr.ca, pr.cb, pr.cc,
+                 pr.cr, pr.cg, pr.cb2, pr.opacity], axis=-1,
+            )  # (N, 9)
+            return rows[gidx]  # (D, 9)
+
+        gathered = jax.vmap(one)(
+            means_b, views, proj_views, cam_posns, tan_fovxs, tan_fovys,
+            bins.gather_idx,
+        )  # (F, D, 9)
+        return (
+            jnp.zeros((f * max_dup, _F_ROWS), jnp.float32)
+            .at[:, :9].set(gathered.reshape(f * max_dup, 9)).T
+        )
+
+    feat16, pull = jax.vjp(
+        build_feat16, means_b, shs, scales, opacities, rotations
+    )
+    bg4 = jnp.zeros((f, 4), jnp.float32).at[:, :3].set(
+        jnp.asarray(backgrounds, jnp.float32)
+    )
+    truth_flat = truth_tiles.reshape(f * num_tiles, p_count, 3)
+    res4, d_feat16 = _composite_train_flat(
+        feat16, truth_flat, bg4, wt_g, wb_g, flags, seg_g, tstart_g, tend_g,
+        f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
+    )
+    d_means_b, d_shs, d_scales, d_opac, d_rot = pull(d_feat16)
+    g_means = jnp.sum(d_means_b, axis=0)
+    var_loc = jnp.sum(
+        jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0
+    )
+    res4_frames = res4.reshape(f, num_tiles, p_count, 4)
+    loss_sum = jnp.sum(
+        jnp.mean(jnp.square(res4_frames[..., 0:3]), axis=(1, 2, 3))
+    )
+    num_dup = jnp.max(bins.num_dup)
+    return (
+        loss_sum, (g_means, d_shs, d_scales, d_opac, d_rot), var_loc,
+        res4_frames, num_dup,
+    )
 
 
 def render_train_grads(
@@ -553,51 +725,17 @@ def render_train_grads(
 
     grads follow the reference convention (J^T residual — the *negative*
     L2 gradient, applied with += by the SGD step, src/Trainer.cu:81-101).
-    """
-    if interpret is None:
-        interpret = _should_interpret()
-    tx_tiles = -(-width // tile)
-    ty_tiles = -(-height // tile)
-    num_tiles = tx_tiles * ty_tiles
-    background = jnp.asarray(background, jnp.float32)
-
-    params = (means, shs, scales, opacities, rotations)
-
-    def project_p(p):
-        means_, shs_, scales_, opac_, rot_ = p
-        return project_splat_components(
-            means_, shs_, scales_, opac_, rot_, active,
-            view, proj_view, cam_pos, tan_fovx, tan_fovy,
-            width, height, sh_degree, 1.0,
-        )
-
-    # binning on the (stop-gradient) projection; the duplicate forward
-    # projection inside the vjp below is CSE'd by XLA (identical subgraph)
-    bins = bin_splats(
-        jax.lax.stop_gradient(project_p(params)),
-        width, height, tile, max_dup, chunk,
+    Thin wrapper over render_train_grads_batch with F=1."""
+    loss, grads, _var, res4, _nd = render_train_grads_batch(
+        means, shs, scales, opacities, rotations, active,
+        view[None], proj_view[None], jnp.asarray(cam_pos)[None],
+        jnp.asarray(tan_fovx, jnp.float32)[None],
+        jnp.asarray(tan_fovy, jnp.float32)[None],
+        width, height, truth_tiles[None],
+        jnp.asarray(background, jnp.float32)[None],
+        sh_degree, tile=tile, chunk=chunk, max_dup=max_dup, interpret=interpret,
     )
-
-    def build_feat16(p):
-        proj = project_p(p)
-        feat_rows = jnp.stack(
-            [proj.mx, proj.my, proj.ca, proj.cb, proj.cc,
-             proj.cr, proj.cg, proj.cb2, proj.opacity], axis=-1,
-        )
-        gathered = feat_rows[bins.gather_idx]
-        return (
-            jnp.zeros((max_dup, _F_ROWS), jnp.float32).at[:, :9].set(gathered).T
-        )
-
-    feat16, pull = jax.vjp(build_feat16, params)
-    res4, d_feat16 = composite_train_tiles(
-        feat16, truth_tiles, background, bins,
-        num_tiles, tile, tx_tiles, chunk, max_dup, interpret,
-    )
-    grads = pull(d_feat16)[0]
-    residual = res4[..., 0:3]
-    loss = jnp.mean(jnp.square(residual))
-    return loss, grads, res4
+    return loss, grads, res4[0]
 
 
 def _make_composite(

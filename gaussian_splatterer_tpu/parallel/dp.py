@@ -4,9 +4,11 @@ The reference is strictly single-GPU (SURVEY §2.4) — this is new capability,
 designed TPU-first: truth frames are embarrassingly parallel (the reference
 proves order doesn't matter because gradients are averaged over all frames,
 src/Trainer.cu:416-419), so we shard the frame axis across a ``('camera',)``
-device mesh.  Each device scans its local frames through the rasterizer VJP,
-the per-splat gradient sums are ``psum``-reduced over ICI, and every device
-applies the identical SGD update to its replicated model copy.
+device mesh.  Each device runs its local frames through the FUSED
+frame-batched Pallas train kernel (ops.raster_tiled.render_train_grads_batch
+— the same fast path the single-chip Trainer uses), the per-splat gradient
+sums are ``psum``-reduced over ICI, and every device applies the identical
+SGD update to its replicated model copy.
 
 Scaling model (How-to-Scale-Your-Model recipe): pick the mesh, annotate
 shardings, let XLA place the collectives.  The psum payload is one gradient
@@ -16,8 +18,8 @@ gated by per-device frame count balance, so keep 2F divisible by the mesh
 size.
 
 Splat-axis (tensor-parallel analog) sharding for >1M-splat models is the
-next axis planned on the same mesh (SURVEY §2.4); the gradient math here
-already works per-shard since the update is elementwise.
+second axis on the same mesh (fsdp.py); the gradient math here already
+works per-shard since the update is elementwise.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gaussian_splatterer_tpu.config import RuntimeConfig
 from gaussian_splatterer_tpu.models.splats import SplatModel
 from gaussian_splatterer_tpu.train.trainer import (
     CameraBatch,
@@ -37,6 +40,7 @@ from gaussian_splatterer_tpu.train.trainer import (
     RenderFn,
     TrainMetrics,
     _default_render,
+    _largest_divisor_leq,
 )
 
 CAMERA_AXIS = "camera"
@@ -47,29 +51,89 @@ def make_camera_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CAMERA_AXIS,))
 
 
-def make_dp_train_step(
-    mesh: Mesh,
+def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
+    if runtime is None:
+        return {}
+    return dict(tile=runtime.tile_px, max_dup=runtime.max_dup)
+
+
+def make_local_accumulate(
     width: int,
     height: int,
     sh_degree: int,
-    renderer: str = "tiled",
-    render_fn: Optional[RenderFn] = None,
-    row_chunk: int = 32,
+    renderer: str,
+    render_fn: Optional[RenderFn],
+    row_chunk: int,
+    runtime: Optional[RuntimeConfig],
+    fused: Optional[bool],
+    frame_group: int,
 ):
-    """Build the sharded (model, truths, cams, lrs) -> (model', metrics) step.
+    """Per-device frame loop shared by the DP and FSDP steps: returns a
+    function (params, active, capacity, truths, cams, bgs) ->
+    (g_sum, var_sum, loss_sum, num_dup) of SUMS over the local frames
+    (num_dup = local max binning duplicates; -1 off the fused path).
 
-    truths: (2F, H, W, 3) with 2F divisible by the mesh size; white-background
-    frames first, then black (src/Trainer.cu:311-314).  Model and learning
-    rates are replicated; only the frame axis is sharded.
-    """
-    render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
-    n_dev = mesh.devices.size
+    ``fused=None`` auto-selects the fused frame-batched Pallas kernel
+    whenever the tiled renderer with default render_fn is in play and the
+    resolution is tile-aligned — the same fast path as the single-chip
+    Trainer.  The fused path consumes PRE-TILED truths (F, T, P, 3)."""
+    tile = runtime.tile_px if runtime is not None else 32
+    if fused is None:
+        fused = (
+            renderer == "tiled"
+            and render_fn is None
+            and width % tile == 0
+            and height % tile == 0
+        )
+    if fused:
+        from gaussian_splatterer_tpu.ops.raster_tiled import (
+            render_train_grads_batch,
+        )
 
-    def local_accumulate(model: SplatModel, truths, cams: CameraBatch, bgs):
-        """Sum (not mean) of per-frame gradients over this device's frames."""
-        active = model.active_mask()
-        params = (model.means, model.shs, model.scales, model.opacities, model.rotations)
+        fkw = _fused_kw(runtime)
 
+        def local_accumulate(params, active, capacity, truths, cams, bgs):
+            n_local = truths.shape[0]
+            group = _largest_divisor_leq(n_local, frame_group)
+            xs = jax.tree.map(
+                lambda x: x.reshape(n_local // group, group, *x.shape[1:]),
+                (truths, cams.view, cams.proj_view, cams.cam_pos,
+                 cams.tan_fovx, cams.tan_fovy, bgs),
+            )
+
+            def group_fn(carry, xg):
+                g_sum, var_sum, loss_sum, ndup = carry
+                truth_g, view_g, pv_g, pos_g, tx_g, ty_g, bg_g = xg
+                l_sum, g, v, _, nd = render_train_grads_batch(
+                    *params, active, view_g, pv_g, pos_g, tx_g, ty_g,
+                    width, height, truth_g, bg_g, sh_degree, **fkw,
+                )
+                return (
+                    jax.tree.map(jnp.add, g_sum, g),
+                    var_sum + v,
+                    loss_sum + l_sum,
+                    jnp.maximum(ndup, nd),
+                ), None
+
+            init = (
+                jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros((capacity,), jnp.float32),
+                jnp.float32(0.0),
+                jnp.int32(0),
+            )
+            (g_sum, var_sum, loss_sum, num_dup), _ = jax.lax.scan(
+                group_fn, init, xs
+            )
+            return g_sum, var_sum, loss_sum, num_dup
+
+        return local_accumulate, True
+
+    render = (
+        render_fn if render_fn is not None
+        else _default_render(renderer, row_chunk, runtime)
+    )
+
+    def local_accumulate(params, active, capacity, truths, cams, bgs):
         def frame_fn(carry, xs):
             g_sum, var_sum, loss_sum = carry
             truth, view, pv, pos, tx, ty, bg = xs
@@ -89,15 +153,48 @@ def make_dp_train_step(
             loss_sum = loss_sum + jnp.mean(jnp.square(residual))
             return (g_sum, var_sum, loss_sum), None
 
-        g0 = jax.tree.map(jnp.zeros_like, params)
-        var0 = jnp.zeros((model.capacity,), jnp.float32)
+        init = (
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((capacity,), jnp.float32),
+            jnp.float32(0.0),
+        )
         (g_sum, var_sum, loss_sum), _ = jax.lax.scan(
-            frame_fn,
-            (g0, var0, jnp.float32(0.0)),
+            frame_fn, init,
             (truths, cams.view, cams.proj_view, cams.cam_pos,
              cams.tan_fovx, cams.tan_fovy, bgs),
         )
-        return g_sum, var_sum, loss_sum
+        return g_sum, var_sum, loss_sum, jnp.int32(-1)
+
+    return local_accumulate, False
+
+
+def make_dp_train_step(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    sh_degree: int,
+    renderer: str = "tiled",
+    render_fn: Optional[RenderFn] = None,
+    row_chunk: int = 32,
+    runtime: Optional[RuntimeConfig] = None,
+    fused: Optional[bool] = None,
+    frame_group: int = 8,
+):
+    """Build the sharded (model, truths, cams, lrs) -> (model', metrics) step.
+
+    truths: (2F, ...) with 2F divisible by the mesh size; white-background
+    frames first, then black (src/Trainer.cu:311-314).  Model and learning
+    rates are replicated; only the frame axis is sharded.  On the fused
+    fast path (default for the tiled renderer) truths must be PRE-TILED to
+    (2F, T, tile*tile, 3) with ops.raster_tiled.image_to_tiles; pass
+    ``fused=False`` to train on (2F, H, W, 3) images with a custom
+    render_fn.  ``runtime`` threads tile_px / max_dup / etc. into the
+    renderer (RuntimeConfig defaults otherwise)."""
+    local_accumulate, fused = make_local_accumulate(
+        width, height, sh_degree, renderer, render_fn, row_chunk,
+        runtime, fused, frame_group,
+    )
+    n_dev = mesh.devices.size
 
     @partial(
         jax.shard_map,
@@ -107,11 +204,16 @@ def make_dp_train_step(
         check_vma=False,
     )
     def step_sharded(model, truths, cams, bgs, lrs):
-        g_sum, var_sum, loss_sum = local_accumulate(model, truths, cams, bgs)
+        params = (model.means, model.shs, model.scales, model.opacities,
+                  model.rotations)
+        g_sum, var_sum, loss_sum, num_dup = local_accumulate(
+            params, model.active_mask(), model.capacity, truths, cams, bgs
+        )
         # single fused all-reduce over ICI for every gradient tensor
         g_sum, var_sum, loss_sum = jax.lax.psum(
             (g_sum, var_sum, loss_sum), CAMERA_AXIS
         )
+        num_dup = jax.lax.pmax(num_dup, CAMERA_AXIS)
         samples = jnp.float32(truths.shape[0] * n_dev)
         g_means, g_shs, g_scales, g_opac, g_rot = jax.tree.map(
             lambda g: g / samples, g_sum
@@ -124,7 +226,8 @@ def make_dp_train_step(
             rotations=model.rotations + g_rot * lrs.rotation,
         )
         metrics = TrainMetrics(
-            loss=loss_sum / samples, var_loc=var_sum / samples, avg_grad_loc=g_means
+            loss=loss_sum / samples, var_loc=var_sum / samples,
+            avg_grad_loc=g_means, num_dup=num_dup,
         )
         return new_model, metrics
 

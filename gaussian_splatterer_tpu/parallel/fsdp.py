@@ -7,7 +7,8 @@ ZeRO-3 style), every device trains on its own shard of the truth frames
 
   1. all-gathers the splat parameters over the ``splat`` axis (one fused
      ICI all-gather; ~50 MB at 1M splats),
-  2. runs the local frames through the rasterizer VJP,
+  2. runs the local frames through the FUSED frame-batched Pallas train
+     kernel (the same fast path as the single-chip Trainer),
   3. reduce-scatters the parameter gradients over ``splat`` (so each device
      only materializes its shard's gradient sum) and psums over ``camera``,
   4. applies the SGD update to its local shard only.
@@ -30,13 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gaussian_splatterer_tpu.config import RuntimeConfig
 from gaussian_splatterer_tpu.models.splats import SplatModel
+from gaussian_splatterer_tpu.parallel.dp import make_local_accumulate
 from gaussian_splatterer_tpu.train.trainer import (
     CameraBatch,
     LearningRates,
     RenderFn,
     TrainMetrics,
-    _default_render,
 )
 
 CAMERA_AXIS = "camera"
@@ -78,21 +80,34 @@ def make_fsdp_train_step(
     renderer: str = "tiled",
     render_fn: Optional[RenderFn] = None,
     row_chunk: int = 32,
+    runtime: Optional[RuntimeConfig] = None,
+    fused: Optional[bool] = None,
+    frame_group: int = 8,
 ):
     """Sharded-parameter train step over a ('camera', 'splat') mesh.
 
     truths: (2F, ...) with 2F divisible by the total device count; model
-    arrays sharded on their capacity axis (see shard_model)."""
-    render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
+    arrays sharded on their capacity axis (see shard_model).  On the fused
+    fast path (default for the tiled renderer) truths must be PRE-TILED to
+    (2F, T, tile*tile, 3).  ``sh_degree`` must match the model's static
+    sh_degree field (it shapes the pytree the shard_map specs bind to)."""
+    local_accumulate, fused = make_local_accumulate(
+        width, height, sh_degree, renderer, render_fn, row_chunk,
+        runtime, fused, frame_group,
+    )
     n_dev = mesh.devices.size
 
+    # NOTE: sh_degree is a static (treedef) field of the flax struct — the
+    # spec pytree must carry the SAME value as the incoming model or the
+    # shard_map binding fails (round-1 bug: hardcoded 1 broke degree-3).
     model_specs = SplatModel(
         means=P(SPLAT_AXIS), shs=P(SPLAT_AXIS), scales=P(SPLAT_AXIS),
         opacities=P(SPLAT_AXIS), rotations=P(SPLAT_AXIS),
-        count=P(), sh_degree=1,
+        count=P(), sh_degree=sh_degree,
     )
     metric_specs = TrainMetrics(
-        loss=P(), var_loc=P(SPLAT_AXIS), avg_grad_loc=P(SPLAT_AXIS)
+        loss=P(), var_loc=P(SPLAT_AXIS), avg_grad_loc=P(SPLAT_AXIS),
+        num_dup=P(),
     )
 
     @partial(
@@ -118,36 +133,12 @@ def make_fsdp_train_step(
             ),
             model_shard,
         )
-        active = full.active_mask()
-        params = (full.means, full.shs, full.scales, full.opacities, full.rotations)
-
-        def frame_fn(carry, xs):
-            g_sum, var_sum, loss_sum = carry
-            truth, view, pv, pos, tx, ty, bg = xs
-
-            def fwd(p):
-                means, shs, scales, opac, rot = p
-                return render(
-                    means, shs, scales, opac, rot, active,
-                    view, pv, pos, tx, ty, width, height, bg, sh_degree, 1.0,
-                )
-
-            img, pull = jax.vjp(fwd, params)
-            residual = truth - img
-            g = pull(residual)[0]
-            g_sum = jax.tree.map(jnp.add, g_sum, g)
-            var_sum = var_sum + jnp.linalg.norm(g[0], axis=-1)
-            loss_sum = loss_sum + jnp.mean(jnp.square(residual))
-            return (g_sum, var_sum, loss_sum), None
-
-        g0 = jax.tree.map(jnp.zeros_like, params)
-        var0 = jnp.zeros((full.capacity,), jnp.float32)
-        (g_sum, var_sum, loss_sum), _ = jax.lax.scan(
-            frame_fn,
-            (g0, var0, jnp.float32(0.0)),
-            (truths, cams.view, cams.proj_view, cams.cam_pos,
-             cams.tan_fovx, cams.tan_fovy, bgs),
+        params = (full.means, full.shs, full.scales, full.opacities,
+                  full.rotations)
+        g_sum, var_sum, loss_sum, num_dup = local_accumulate(
+            params, full.active_mask(), full.capacity, truths, cams, bgs
         )
+        num_dup = jax.lax.pmax(num_dup, (CAMERA_AXIS, SPLAT_AXIS))
 
         # 2. gradient reduction: reduce-scatter over the splat axis keeps
         #    only the local shard's gradients, then psum over cameras
@@ -180,6 +171,7 @@ def make_fsdp_train_step(
             loss=loss_sum / samples,
             var_loc=var_shard / samples,
             avg_grad_loc=g_means,
+            num_dup=num_dup,
         )
         return new_shard, metrics
 
@@ -188,6 +180,9 @@ def make_fsdp_train_step(
         f = cams.num_frames
         assert truths.shape[0] == 2 * f, "need white+black frame per camera"
         assert (2 * f) % n_dev == 0, "2*num_cameras must divide the mesh size"
+        assert model.sh_degree == sh_degree, (
+            "model sh_degree must match the step's (shard_map spec treedef)"
+        )
         cams2 = jax.tree.map(lambda x: jnp.concatenate([x, x], 0), cams)
         bgs = jnp.concatenate(
             [jnp.ones((f, 3), jnp.float32), jnp.zeros((f, 3), jnp.float32)], 0

@@ -91,6 +91,10 @@ class TrainMetrics(NamedTuple):
     loss: jax.Array  # () mean MSE over all 2F frames
     var_loc: jax.Array  # (C,) densify variance signal
     avg_grad_loc: jax.Array  # (C, 3) mean location gradient
+    num_dup: jax.Array  # () int32 max binning duplicates this step (fused
+    # path; -1 when the renderer doesn't report it).  > max_dup means the
+    # duplicate buffer overflowed and the deepest splats were dropped —
+    # Trainer.maybe_grow_dup_buffer auto-recovers.
 
 
 # Renderer signature shared by oracle and tiled paths.
@@ -115,6 +119,13 @@ def _default_render(
     raise ValueError(f"unknown renderer {kind!r}")
 
 
+def _largest_divisor_leq(n: int, k: int) -> int:
+    k = max(1, min(n, k))
+    while n % k:
+        k -= 1
+    return k
+
+
 def make_train_step(
     width: int,
     height: int,
@@ -124,6 +135,7 @@ def make_train_step(
     render_fn: Optional[RenderFn] = None,
     fused: bool = False,
     fused_opts: Optional[dict] = None,
+    frame_group: int = 8,
 ):
     """Build a jitted (model, truths, cams, lrs) -> (model', metrics) step.
 
@@ -133,15 +145,18 @@ def make_train_step(
     truths must be pre-tiled to (2F, T, P, 3) with image_to_tiles — the
     residual/loss math is shape-agnostic.
 
-    ``fused=True`` uses the single-pass Pallas train kernel
-    (ops.raster_tiled.render_train_grads): forward, residual, and gradient
-    replay in one launch over pre-tiled truths — no per-frame image/gin
-    HBM round-trips.  fused_opts forwards tile/chunk/max_dup.
+    ``fused=True`` uses the frame-BATCHED single-pass Pallas train kernel
+    (ops.raster_tiled.render_train_grads_batch): binning + forward +
+    residual + gradient replay for ``frame_group`` frames per launch over
+    pre-tiled truths — no per-frame image/gin HBM round-trips or glue.
+    fused_opts forwards tile/chunk/max_dup; frame_group bounds transient
+    memory (slab buffers scale with group size) and is snapped down to a
+    divisor of 2F.
     """
     render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
     fkw = fused_opts or {}
     if fused:
-        from gaussian_splatterer_tpu.ops.raster_tiled import render_train_grads
+        from gaussian_splatterer_tpu.ops.raster_tiled import render_train_grads_batch
 
     @jax.jit
     def step(model: SplatModel, truths: jax.Array, cams: CameraBatch, lrs: LearningRates):
@@ -157,16 +172,39 @@ def make_train_step(
             [jnp.ones((f, 3), jnp.float32), jnp.zeros((f, 3), jnp.float32)], 0
         )
 
-        def frame_fn(carry, xs):
-            avg, var, loss_sum = carry
-            truth, view, pv, pos, tx, ty, bg = xs
+        avg0 = jax.tree.map(jnp.zeros_like, params)
+        var0 = jnp.zeros((model.capacity,), jnp.float32)
+        xs = (truths, cams2.view, cams2.proj_view, cams2.cam_pos,
+              cams2.tan_fovx, cams2.tan_fovy, bgs)
 
-            if fused:
-                loss, g, _ = render_train_grads(
-                    *params, active, view, pv, pos, tx, ty,
-                    width, height, truth, bg, sh_degree, **fkw,
+        if fused:
+            group = _largest_divisor_leq(2 * f, frame_group)
+            xs = jax.tree.map(
+                lambda x: x.reshape((2 * f) // group, group, *x.shape[1:]), xs
+            )
+
+            def group_fn(carry, xg):
+                gsum, var, loss_sum, ndup = carry
+                truth_g, view_g, pv_g, pos_g, tx_g, ty_g, bg_g = xg
+                l_sum, g, v, _, nd = render_train_grads_batch(
+                    *params, active, view_g, pv_g, pos_g, tx_g, ty_g,
+                    width, height, truth_g, bg_g, sh_degree, **fkw,
                 )
-            else:
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (
+                    gsum, var + v, loss_sum + l_sum, jnp.maximum(ndup, nd)
+                ), None
+
+            (gsum, var, loss_sum, num_dup), _ = jax.lax.scan(
+                group_fn, (avg0, var0, jnp.float32(0.0), jnp.int32(0)), xs
+            )
+            avg = jax.tree.map(lambda g: g / samples, gsum)
+            var = var / samples
+        else:
+            def frame_fn(carry, xs):
+                avg, var, loss_sum = carry
+                truth, view, pv, pos, tx, ty, bg = xs
+
                 def fwd(p):
                     means, shs, scales, opac, rot = p
                     return render(
@@ -178,19 +216,15 @@ def make_train_step(
                 residual = truth - img  # signed diff = -dL/dpixel of L2/2
                 g = pull(residual)[0]
                 loss = jnp.mean(jnp.square(residual))
-            avg = jax.tree.map(lambda a, gi: a + gi / samples, avg, g)
-            var = var + jnp.linalg.norm(g[0], axis=-1) / samples
-            loss_sum = loss_sum + loss
-            return (avg, var, loss_sum), None
+                avg = jax.tree.map(lambda a, gi: a + gi / samples, avg, g)
+                var = var + jnp.linalg.norm(g[0], axis=-1) / samples
+                loss_sum = loss_sum + loss
+                return (avg, var, loss_sum), None
 
-        avg0 = jax.tree.map(jnp.zeros_like, params)
-        var0 = jnp.zeros((model.capacity,), jnp.float32)
-        (avg, var, loss_sum), _ = jax.lax.scan(
-            frame_fn,
-            (avg0, var0, jnp.float32(0.0)),
-            (truths, cams2.view, cams2.proj_view, cams2.cam_pos,
-             cams2.tan_fovx, cams2.tan_fovy, bgs),
-        )
+            (avg, var, loss_sum), _ = jax.lax.scan(
+                frame_fn, (avg0, var0, jnp.float32(0.0)), xs
+            )
+            num_dup = jnp.int32(-1)  # not reported off the fused path
 
         g_means, g_shs, g_scales, g_opac, g_rot = avg
         new_model = model.replace(
@@ -200,7 +234,10 @@ def make_train_step(
             opacities=jnp.clip(model.opacities + g_opac * lrs.opacity, 0.0, 1.0),
             rotations=model.rotations + g_rot * lrs.rotation,
         )
-        metrics = TrainMetrics(loss=loss_sum / samples, var_loc=var, avg_grad_loc=g_means)
+        metrics = TrainMetrics(
+            loss=loss_sum / samples, var_loc=var, avg_grad_loc=g_means,
+            num_dup=num_dup,
+        )
         return new_model, metrics
 
     return step
@@ -238,27 +275,34 @@ class Trainer:
         self.model = model
         self.renderer = renderer
         self.row_chunk = row_chunk
+        self._user_render = render_fn is not None
         self._render_fn = render_fn
         self.truths: Optional[jax.Array] = None  # (2F, H, W, 3) or tiled
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
         if render_fn is None:
-            self._render_fn = render_fn = _default_render(renderer, row_chunk, runtime)
+            self._render_fn = _default_render(renderer, row_chunk, runtime)
+        self._build_step()
+
+    def _build_step(self) -> None:
+        """(Re)build the jitted step from the current RuntimeConfig —
+        called at construction and when maybe_grow_dup_buffer recompiles."""
+        runtime = self.runtime
         # tile-space fast path: train against pre-tiled truths so the step
         # never assembles (H, W) images (saves two transposes per frame
-        # forward + two backward)
+        # forward + two backward).  A caller-supplied render_fn drives the
+        # generic image-space step instead (it expects (H, W, 3) truths).
         self._tile_space = 0
-        step_render = render_fn
         fused = False
         fused_opts = None
         if (
-            renderer == "tiled"
-            and render_fn is self._render_fn
+            self.renderer == "tiled"
+            and not self._user_render
             and runtime.render_resolution_x % runtime.tile_px == 0
             and runtime.render_resolution_y % runtime.tile_px == 0
         ):
-            # tile-space + fused single-pass train kernel (fwd + residual +
-            # gradient replay in one Pallas launch per frame)
+            # tile-space + fused frame-batched train kernel (binning + fwd +
+            # residual + gradient replay in one Pallas launch per group)
             self._tile_space = runtime.tile_px
             fused = True
             fused_opts = dict(tile=runtime.tile_px, max_dup=runtime.max_dup)
@@ -266,12 +310,43 @@ class Trainer:
             runtime.render_resolution_x,
             runtime.render_resolution_y,
             runtime.sh_degree,
-            renderer=renderer,
-            row_chunk=row_chunk,
-            render_fn=step_render,
+            renderer=self.renderer,
+            row_chunk=self.row_chunk,
+            render_fn=self._render_fn if self._user_render else None,
             fused=fused,
             fused_opts=fused_opts,
+            frame_group=runtime.frame_group,
         )
+
+    # ------------------------------------------------------------------
+    def maybe_grow_dup_buffer(self, metrics: Optional[TrainMetrics] = None) -> bool:
+        """Auto-recover from binning duplicate-buffer overflow.
+
+        The fused step reports the max duplicates any frame generated
+        (TrainMetrics.num_dup).  The reference radix-sorts the exact count
+        and cannot truncate (src/Trainer.cu:334-360); we must not silently
+        drop the deepest splats, so when num_dup > max_dup this grows
+        max_dup to the next power of two with 25% headroom and recompiles
+        the step.  Returns True when the buffer grew.  NOTE: reading
+        num_dup syncs the device — call at natural sync points (densify,
+        capture), not every step."""
+        import warnings
+
+        metrics = metrics if metrics is not None else self.last_metrics
+        if metrics is None:
+            return False
+        nd = int(metrics.num_dup)
+        if nd <= self.runtime.max_dup:
+            return False
+        new_max = 1 << (int(nd * 1.25) - 1).bit_length()
+        warnings.warn(
+            f"binning duplicate buffer overflow: {nd} > max_dup="
+            f"{self.runtime.max_dup}; growing to {new_max} and recompiling "
+            "(the overflowing step dropped its deepest duplicates)"
+        )
+        self.runtime.max_dup = new_max
+        self._build_step()
+        return True
 
     # ------------------------------------------------------------------
     def capture_truths(self, rtx) -> None:
@@ -307,6 +382,15 @@ class Trainer:
             raise RuntimeError("Can't run training iteration, no truth data available!")
         self.project.iterations += 1
         lrs = LearningRates.from_project(self.project)
+        decay = getattr(self.runtime, "lr_location_decay", 1.0)
+        if decay != 1.0:
+            # 3DGS-style exponential location-LR schedule (framework knob;
+            # off by default — the reference trains with flat LRs)
+            lrs = lrs._replace(
+                location=jnp.float32(
+                    float(lrs.location) * decay ** self.project.iterations
+                )
+            )
         with jax.profiler.TraceAnnotation("gsplat.train_step"):
             self.model, metrics = self._step(
                 self.model, self.truths, self.truth_cams, lrs
@@ -319,6 +403,9 @@ class Trainer:
                     metrics.avg_grad_loc,
                     DensifyParams.from_project(self.project),
                 )
+            # densify syncs the host anyway — free moment to check binning
+            # overflow and grow the duplicate buffer (recompile) if needed
+            self.maybe_grow_dup_buffer(metrics)
         self.last_metrics = metrics
         return metrics
 

@@ -133,6 +133,10 @@ def main():
                     help="override paramDensifyVariance (growth trigger)")
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="scale all five per-feature learning rates")
+    ap.add_argument("--lr-location-decay", type=float, default=1.0,
+                    help="exponential location-LR decay per iteration "
+                         "(3DGS-style; 1.0 = reference-parity flat)")
+    ap.add_argument("--sh-degree", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
     args = ap.parse_args()
@@ -154,6 +158,8 @@ def main():
     runtime = RuntimeConfig(
         render_resolution_x=args.res, render_resolution_y=args.res,
         splats_capacity=args.capacity, max_dup=args.max_dup,
+        sh_degree=args.sh_degree, sh_coeffs=(args.sh_degree + 1) ** 2,
+        lr_location_decay=args.lr_location_decay,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:

@@ -132,3 +132,38 @@ def test_binning_stats(obj_path):
     stats = s.trainer.binning_stats()
     assert 0 <= stats["num_dup"] <= stats["max_dup"]
     assert not stats["overflow"]
+
+
+def test_cli_checkpoint_resume_and_snapshots(obj_path, tmp_path):
+    """CLI crash-recovery surface: --checkpoint-every / --resume /
+    --snapshot-every (reference live-preview stand-in)."""
+    proj_dir = str(tmp_path / "ckproj")
+    cli_main([
+        "new", proj_dir, "--obj", obj_path, "--init-field", "mono",
+        "--resolution", "32", "--capacity", "256",
+    ])
+    sfile = os.path.join(proj_dir, "settings.json")
+    cfg = json.load(open(sfile))
+    cfg["sphere1"]["count"] = 2
+    cfg["sphere2"]["count"] = 0
+    cfg["rtSamples"] = 2
+    cfg["intervalCapture"] = 0
+    cfg["intervalDensify"] = 0
+    json.dump(cfg, open(sfile, "w"))
+
+    cli_main([
+        "train", proj_dir, "--steps", "3", "--resolution", "32",
+        "--capacity", "256", "--checkpoint-every", "1",
+        "--snapshot-every", "2",
+    ])
+    assert os.path.exists(os.path.join(proj_dir, "checkpoints", "latest.npz"))
+    snaps = os.listdir(os.path.join(proj_dir, "snapshots"))
+    assert any(f.endswith(".png") for f in snaps)
+
+    # resume continues the iteration counter from the checkpoint
+    cli_main([
+        "train", proj_dir, "--steps", "2", "--resolution", "32",
+        "--capacity", "256", "--resume",
+    ])
+    out = json.load(open(sfile))
+    assert out["iterations"] == 5

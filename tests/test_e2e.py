@@ -89,3 +89,47 @@ def test_checkpoint_resume_identical(session, tmp_path):
         np.asarray(s2.model.means[:n]), np.asarray(session.model.means[:n]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_kill_and_resume_bit_exact(session, tmp_path):
+    """Crash recovery: a run checkpointed every 2 iters, 'killed' after 6,
+    then resumed via the CLI-facing path must reproduce the uninterrupted
+    run's model BIT-exactly (the .npz checkpoint stores exact f32;
+    deterministic step order — no random re-capture in this fixture)."""
+    import jax
+
+    ckpt = str(tmp_path / "ckpt")
+
+    # uninterrupted reference run: 10 steps
+    session.init_field("model")
+    session.capture()
+    ref = Session(project=session.project, runtime=session.runtime,
+                  renderer="tiled")
+    ref.trainer.model = session.model
+    ref.trainer.truths = session.trainer.truths
+    ref.trainer.truth_cams = session.trainer.truth_cams
+    import copy
+    ref.project = copy.deepcopy(session.project)
+    ref.trainer.project = ref.project
+    for _ in range(10):
+        ref.trainer.train()
+
+    # 'crashed' run: 6 steps with checkpointing every 2
+    session.auto_train(6, checkpoint_dir=ckpt, checkpoint_every=2,
+                       rate_limit=None)
+    # the checkpoint cadence fires on iterations 2, 4, 6 -> latest is iter 6
+    s2 = Session(project=Project.app_default(), runtime=session.runtime,
+                 renderer="tiled")
+    s2.resume_from_checkpoint(ckpt)
+    assert s2.project.iterations == 6
+    # transplant the exact truth buffers (capture is Monte-Carlo and not
+    # bit-reproducible across calls; the reference recaptures on load too —
+    # the bit-exactness claim is about the RESUME mechanics)
+    s2.trainer.truths = session.trainer.truths
+    s2.trainer.truth_cams = session.trainer.truth_cams
+    for _ in range(4):
+        s2.trainer.train()
+
+    assert s2.project.iterations == ref.project.iterations
+    for a, b in zip(jax.tree.leaves(s2.model), jax.tree.leaves(ref.model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -106,3 +106,107 @@ def test_fsdp_2d_matches_single_device():
     )
     for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def build_scene_fused(n_splats=24, cap=64, n_cams=4, seed=0, sh_degree=1,
+                      res=64, tile=16):
+    """Scene with PRE-TILED truths for the fused fast path."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles
+
+    sh_coeffs = (sh_degree + 1) ** 2
+    rng = np.random.default_rng(seed)
+    m = SplatModelHost(cap, sh_degree, sh_coeffs)
+    for _ in range(n_splats):
+        m.push_back(
+            rng.uniform(-1.5, 1.5, 3), rng.normal(0, 0.3, (sh_coeffs, 3)),
+            rng.uniform(0.1, 0.4, 3), rng.uniform(0.3, 1.0), [1, 0, 0, 0],
+        )
+    model = m.to_device()
+    proj = Project()
+    proj.sphere1.count = n_cams
+    proj.sphere2.count = 0
+    cameras = Camera.get_cameras(proj)
+    cams = CameraBatch.from_cameras(cameras, res, res)
+    truths = jnp.asarray(
+        rng.uniform(0, 1, (2 * n_cams, res, res, 3)).astype(np.float32)
+    )
+    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, tile))(truths)
+    return model, cams, truth_tiles
+
+
+@pytest.mark.parametrize("sh_degree", [1, 3])
+def test_dp_fused_matches_single_device(sh_degree):
+    """Camera-DP on the FUSED tile-space fast path (the path production
+    multi-chip training uses) == the single-device fused step, at SH
+    degree 1 and 3 (round-1 FSDP was silently degree-1 only)."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+
+    res, tile = 64, 16
+    model, cams, truth_tiles = build_scene_fused(sh_degree=sh_degree,
+                                                 res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    single = make_train_step(
+        res, res, sh_degree, renderer="tiled", fused=True,
+        fused_opts=dict(tile=tile, max_dup=2**12),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+
+    mesh = make_camera_mesh(jax.devices()[:8])
+    dp = make_dp_train_step(mesh, res, res, sh_degree, renderer="tiled",
+                            runtime=runtime)
+    m2, met2 = dp(model, shard_truths(mesh, truth_tiles), cams, lrs)
+
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("sh_degree", [1, 3])
+def test_fsdp_fused_matches_single_device(sh_degree):
+    """('camera','splat') mesh on the fused fast path, degree 1 and 3."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+    from gaussian_splatterer_tpu.parallel.fsdp import (
+        make_2d_mesh,
+        make_fsdp_train_step,
+        shard_model,
+        shard_truths_2d,
+    )
+
+    res, tile = 64, 16
+    model, cams, truth_tiles = build_scene_fused(sh_degree=sh_degree,
+                                                 res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    single = make_train_step(
+        res, res, sh_degree, renderer="tiled", fused=True,
+        fused_opts=dict(tile=tile, max_dup=2**12),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+
+    mesh = make_2d_mesh(2, 4)
+    fsdp = make_fsdp_train_step(mesh, res, res, sh_degree, renderer="tiled",
+                                runtime=runtime)
+    m2, met2 = fsdp(
+        shard_model(mesh, model), shard_truths_2d(mesh, truth_tiles), cams, lrs
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -240,3 +240,69 @@ def test_fused_train_grads_match_vjp_path():
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
             err_msg=f"fused gradient mismatch: {name}",
         )
+
+
+def test_batched_train_grads_match_per_frame():
+    """The frame-batched fused kernel == per-frame fused calls summed:
+    same losses, same gradient sums, same per-frame residuals and
+    per-frame location-gradient norms (densify variance signal)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles,
+        render_train_grads,
+        render_train_grads_batch,
+    )
+
+    params = random_splats(40, 31)[:5]
+    active = random_splats(40, 31)[5]
+    rng = np.random.default_rng(5)
+
+    cams = []
+    for i, dist in enumerate([8.0, 7.0, 9.0]):
+        cam = Camera(
+            np.array([0.3 * (i + 1), -0.2, -dist], np.float32),
+            np.zeros(3, np.float32), 60.0,
+        )
+        cams.append(cam)
+    views = jnp.stack([jnp.asarray(c.get_view()) for c in cams])
+    pvs = jnp.stack([jnp.asarray(c.get_proj_view(W / H)) for c in cams])
+    poss = jnp.stack([jnp.asarray(c.location) for c in cams])
+    tans = np.array([c.tan_fov(W, H, train=True) for c in cams], np.float32)
+    txs, tys = jnp.asarray(tans[:, 0]), jnp.asarray(tans[:, 1])
+    bgs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
+    truths = jnp.asarray(rng.uniform(0, 1, (3, H, W, 3)).astype(np.float32))
+    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, TILE))(truths)
+
+    loss_b, g_b, var_b, res_b, num_dup = render_train_grads_batch(
+        *params, active, views, pvs, poss, txs, tys, W, H,
+        truth_tiles, bgs, 1, tile=TILE, max_dup=2**12, interpret=True,
+    )
+
+    assert int(num_dup) > 0
+    loss_s = 0.0
+    g_s = None
+    var_s = jnp.zeros((params[0].shape[0],), jnp.float32)
+    for i in range(3):
+        li, gi, ri = render_train_grads(
+            *params, active, views[i], pvs[i], poss[i], txs[i], tys[i],
+            W, H, truth_tiles[i], bgs[i], 1,
+            tile=TILE, max_dup=2**12, interpret=True,
+        )
+        loss_s = loss_s + li
+        g_s = gi if g_s is None else jax.tree.map(jnp.add, g_s, gi)
+        var_s = var_s + jnp.linalg.norm(gi[0], axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(res_b[i]), np.asarray(ri), atol=1e-6,
+            err_msg=f"residual mismatch frame {i}",
+        )
+
+    np.testing.assert_allclose(float(loss_b), float(loss_s), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(var_b), np.asarray(var_s), atol=1e-6, rtol=1e-5
+    )
+    names = ["means", "shs", "scales", "opacities", "rotations"]
+    for name, a, b in zip(names, g_b, g_s):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5,
+            err_msg=f"batched gradient mismatch: {name}",
+        )

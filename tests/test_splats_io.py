@@ -120,3 +120,40 @@ f 1 2 3
     np.testing.assert_allclose(mesh.tri_uv[1], [[0, 0], [1, 1], [0, 1]])
     # face without vt indices falls back to zeros (src/rtx/RtxHost.cpp:178-182)
     np.testing.assert_allclose(mesh.tri_uv[2], 0.0)
+
+
+def test_viewer_html_export_roundtrip(tmp_path):
+    """The self-contained viewer embeds the exact splat data (base64 f32,
+    23 floats/splat) and valid standalone HTML (no external resources)."""
+    import base64
+    import re
+
+    from gaussian_splatterer_tpu.io.viewer import (
+        export_viewer_html,
+        pack_viewer_arrays,
+    )
+    from gaussian_splatterer_tpu.ops.transforms import SH_C0
+
+    h = SplatModelHost(16, 1, 4)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        sh = np.zeros((4, 3), np.float32)
+        sh[0] = (rng.uniform(0.2, 1, 3) - 0.5) / SH_C0
+        sh[1:] = rng.normal(0, 0.1, (3, 3))
+        h.push_back(rng.uniform(-1, 1, 3), sh, rng.uniform(0.05, 0.2, 3),
+                    rng.uniform(0.5, 1), [1, 0, 0, 0])
+    path = str(tmp_path / "v.html")
+    export_viewer_html(h, path)
+    html = open(path).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "http://" not in html and "https://" not in html  # offline
+    m = re.search(r'const B64 = "([^"]*)"', html)
+    data = np.frombuffer(
+        base64.b64decode(m.group(1)), np.float32
+    ).reshape(5, 23)
+    np.testing.assert_array_equal(data, pack_viewer_arrays(h))
+    # positions / quats / opacity land in the right lanes
+    np.testing.assert_allclose(data[:, 0:3], h.means[:5])
+    np.testing.assert_allclose(data[:, 6:10], h.rotations[:5])
+    np.testing.assert_allclose(data[:, 22], h.opacities[:5])
+    assert '"count": 5' in html

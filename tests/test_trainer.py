@@ -168,3 +168,45 @@ def test_densify_step_in_training_loop():
     n0 = int(trainer.model.count)
     trainer.train(densify_now=True)
     assert int(trainer.model.count) == 2 * n0  # both splats split
+
+
+def test_overflow_auto_recovery_grows_dup_buffer():
+    """A deliberately-undersized duplicate buffer overflows; the trainer
+    must report it (TrainMetrics.num_dup), auto-grow max_dup (recompile),
+    and keep training (the reference cannot truncate — src/Trainer.cu:334;
+    we must not silently drop splats either)."""
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 128  # one chunk: guaranteed overflow for wide splats
+    runtime.splats_capacity = 16
+
+    # fat splats covering many tiles each (16 splats x up to 16 tiles > 128)
+    h = SplatModelHost(16, 1, 4)
+    for i in range(16):
+        h.push_back(
+            [0.1 * i - 0.75, 0.05 * i - 0.4, 0.05 * i],
+            rgb_sh([0.6, 0.4, 0.3]), [1.5] * 3, 0.9, [1, 0, 0, 0],
+        )
+    p = small_project()
+    p.paramScaleMax = 2.0  # keep the fat splats fat after the SGD clamp
+    trainer = Trainer(p, runtime, h.to_device(), renderer="tiled")
+    trainer.capture_truths(OracleRtx(target_model(), res=res))
+
+    m1 = trainer.train()
+    assert int(m1.num_dup) > 128, "test scene must overflow the buffer"
+    grew = trainer.maybe_grow_dup_buffer(m1)
+    assert grew and runtime.max_dup >= int(m1.num_dup)
+
+    # training continues on the grown buffer and no longer overflows
+    m2 = trainer.train()
+    assert np.isfinite(float(m2.loss))
+    assert int(m2.num_dup) <= runtime.max_dup
+    assert not trainer.maybe_grow_dup_buffer(m2)
+
+    # the densify path performs the same check implicitly
+    runtime.max_dup = 128
+    trainer._build_step()
+    trainer.train(densify_now=True)
+    assert runtime.max_dup > 128
