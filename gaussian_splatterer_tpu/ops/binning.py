@@ -54,6 +54,14 @@ class TileBins(NamedTuple):
     is_pad: jax.Array  # (W,) int32 1 for padding items (skip all compute)
     block_first: jax.Array  # (W,) int32 1 when first item touching work_block
     num_dup: jax.Array  # () int32 total duplicates generated (may exceed D!)
+    # Gradient-reduction structure (scatter-free backward): in PRE-tile-sort
+    # (depth) order every splat's duplicates are CONTIGUOUS, so per-splat
+    # gradient sums are cumsum differences over segments — no XLA scatter
+    # (whose TPU expansion measured 19 ms/frame AND blew up compile times).
+    dup_presort: jax.Array  # (D,) int32 pre-sort position per sorted duplicate
+    seg_start: jax.Array  # (N,) int32 first presort dup of depth-ordered splat
+    seg_end: jax.Array  # (N,) int32 one-past-last (clipped to D)
+    depth_order: jax.Array  # (N,) int32 original splat id per depth slot
 
 
 def work_capacity(num_tiles: int, max_dup: int, chunk: int) -> int:
@@ -79,12 +87,14 @@ class TwoPassWork(NamedTuple):
 
 
 def make_two_pass_worklist(
-    bins: TileBins, num_tiles: int, max_dup: int, chunk: int
+    tile_start: jax.Array, tile_end: jax.Array,
+    num_tiles: int, max_dup: int, chunk: int,
 ) -> TwoPassWork:
+    """Build the fused-kernel work list from per-tile LOCAL dup ranges."""
     i32 = jnp.int32
     num_blocks = max_dup // chunk
-    start_blk = bins.tile_start // chunk
-    n_chunks = jnp.maximum(1, -(-bins.tile_end // chunk) - start_blk)
+    start_blk = tile_start // chunk
+    n_chunks = jnp.maximum(1, -(-tile_end // chunk) - start_blk)
     n2 = 2 * n_chunks
     w_offs = jnp.cumsum(n2)
     w_actual = w_offs[-1]
@@ -110,6 +120,181 @@ def make_two_pass_worklist(
         is_pass2=(is_pass2 & ~pad).astype(i32),
         is_pad=pad.astype(i32),
         slab_segment=slab_segment.astype(i32),
+    )
+
+
+class BatchBins(NamedTuple):
+    """Flat-native multi-frame binning (see bin_splats_batch).
+
+    F frames, N splat capacity, D = max_dup, T tiles per frame.  Indices
+    marked _g / _flat are GLOBAL over the frame-flattened axes (row id
+    = f*N + local, dup id = f*D + local, tile id = f*T + local)."""
+
+    gather_flat: jax.Array  # (F*D,) global feature-row id per sorted dup
+    inv_perm_flat: jax.Array  # (F*D,) global SORTED position per presort dup
+    tile_start: jax.Array  # (F, T) local dup ranges per tile
+    tile_end: jax.Array  # (F, T)
+    tile_start_g: jax.Array  # (F*T,) global (+f*D) — kernel convention
+    tile_end_g: jax.Array  # (F*T,)
+    seg_start_g: jax.Array  # (F*N,) global presort dup range per depth slot
+    seg_end_g: jax.Array  # (F*N,)
+    inv_depth_flat: jax.Array  # (F*N,) global depth slot per original row id
+    num_dup: jax.Array  # (F,) true duplicate totals (saturated, may > D)
+
+
+def bin_splats_batch(
+    comps: SplatComponents,  # every field (F, N)
+    width: int,
+    height: int,
+    tile: int,
+    max_dup: int,
+    chunk: int,
+) -> BatchBins:
+    """Multi-frame binning with NO batched gathers/scatters.
+
+    jax.vmap(bin_splats) turns the hand-tuned (K, N)[:, idx] column gathers
+    into batched gathers/scatters that XLA lowers to serial fusions
+    (measured ~25 ms each at 1M duplicates) — so the batch path flattens
+    the frame axis into the data instead: per-frame sorts stay batched
+    (fast), every lookup is ONE flat column gather, and the seed/cummax
+    duplicate fill runs once over the global buffer with frame-monotone
+    seed values."""
+    f, n = comps.mx.shape
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+    i32 = jnp.int32
+    fN = f * n
+    fD = f * max_dup
+    f_rows = jnp.arange(f, dtype=i32)[:, None] * n  # (F, 1) row offsets
+    f_dups = jnp.arange(f, dtype=i32)[:, None] * max_dup
+
+    # 1. per-frame depth order (batched argsort: fast)
+    order = jnp.argsort(
+        jnp.where(comps.valid, comps.depth, jnp.inf), axis=-1
+    ).astype(i32)  # (F, N) local ids
+    order_g = (order + f_rows).reshape(-1)  # (F*N,)
+
+    # 2. depth-ordered geometry: ONE flat column gather
+    tab = jnp.stack(
+        [
+            comps.mx.reshape(-1),
+            comps.my.reshape(-1),
+            comps.radius.reshape(-1),
+            comps.valid.reshape(-1).astype(jnp.float32),
+        ]
+    )  # (4, F*N)
+    g4 = tab[:, order_g]
+    mx = g4[0].reshape(f, n)
+    my = g4[1].reshape(f, n)
+    rad = g4[2].reshape(f, n)
+    vld = g4[3].reshape(f, n) > 0.5
+
+    # 3. covered-tile counts + per-frame prefix offsets
+    x0, y0, x1, y1 = tile_aabb(mx, my, rad, tile, tx_tiles, ty_tiles)
+    spans_x = jnp.maximum(x1 - x0, 0)
+    ntiles = jnp.where(vld, spans_x * jnp.maximum(y1 - y0, 0), 0)
+    offs = jnp.cumsum(ntiles, axis=-1)  # (F, N) int32 per frame
+    offs_excl = offs - ntiles
+    offs_f = jnp.cumsum(ntiles.astype(jnp.float32), axis=-1)  # overflow gate
+    num_dup = jnp.minimum(offs_f[:, -1], jnp.float32(2**31 - 2**8)).astype(i32)
+
+    # 4. seed + cummax duplicate fill over the GLOBAL buffer.  Seed values
+    # are global depth slots (f*N + slot + 1): strictly increasing along the
+    # flat buffer, so a single global cummax cannot leak a frame's ids
+    # backward into an earlier frame and any forward leak (empty frame) is
+    # gated off by dup_valid below.
+    depth_slot = jnp.arange(n, dtype=i32)[None, :] + f_rows  # (F, N) global
+    nonempty = (ntiles > 0) & (offs_f - ntiles.astype(jnp.float32) < max_dup)
+    starts_g = jnp.where(nonempty, offs_excl + f_dups, fD).reshape(-1)
+    seed = (
+        jnp.zeros((fD,), i32).at[starts_g].max(
+            (depth_slot + 1).reshape(-1), mode="drop"
+        )
+    )
+    sid_g = jax.lax.cummax(seed) - 1  # (F*D,) global depth slot, -1 = none
+    sid_c = jnp.maximum(sid_g, 0)
+
+    # 5. per-dup lookups: ONE flat column gather over depth-slot tables
+    tabs = jnp.stack(
+        [offs_excl, spans_x, x0, y0, order], axis=0
+    ).reshape(5, fN)  # indexed by global depth slot
+    g5 = tabs[:, sid_c]  # (5, F*D)
+    oe, wdt, gx0, gy0, orig_local = g5[0], g5[1], g5[2], g5[3], g5[4]
+
+    d_flat = jnp.arange(fD, dtype=i32)
+    d_local = d_flat % max_dup
+    frame_of = d_flat // max_dup
+    local = (d_local - oe).astype(jnp.float32)
+    wf = jnp.maximum(wdt, 1).astype(jnp.float32)
+    row = jnp.floor(local * (1.0 / wf))
+    col = local - row * wf
+    under = col >= wf  # reciprocal-multiply undershoot correction (exact)
+    row = row + under.astype(jnp.float32)
+    col = col - jnp.where(under, wf, 0.0)
+    tyv = gy0 + row.astype(i32)
+    txv = gx0 + col.astype(i32)
+    total_of = num_dup[frame_of]
+    dup_valid = d_local < jnp.minimum(total_of, max_dup)
+    tid = jnp.where(dup_valid, tyv * tx_tiles + txv, num_tiles).astype(i32)
+
+    # 6. per-frame stable tile sort (batched sort: fast), carrying the
+    # GLOBAL original row id and GLOBAL presort position as payloads
+    orig_g = orig_local + frame_of * n
+    tid_2d = tid.reshape(f, max_dup)
+    orig_2d = orig_g.reshape(f, max_dup)
+    dpre_2d = d_flat.reshape(f, max_dup)
+    tid_s, gather_2d, dup_presort_2d = jax.lax.sort(
+        (tid_2d, orig_2d, dpre_2d), num_keys=1, is_stable=True
+    )
+    gather_flat = gather_2d.reshape(-1)
+
+    # inverse permutation per frame via one more batched sort: for each
+    # presort slot (ascending), where it landed in tile order (globally)
+    sorted_pos_2d = dpre_2d + 0  # global positions 0..fD-1, row-major
+    pre_local_2d = dup_presort_2d - f_dups
+    _, inv_2d = jax.lax.sort(
+        (pre_local_2d, sorted_pos_2d), num_keys=1, is_stable=True
+    )
+    inv_perm_flat = inv_2d.reshape(-1)
+
+    # 7. per-frame tile ranges (batched searchsorted)
+    tids = jnp.arange(num_tiles, dtype=i32)
+    tile_start = jax.vmap(
+        lambda ts: jnp.searchsorted(ts, tids, side="left").astype(i32)
+    )(tid_s)
+    tile_end = jax.vmap(
+        lambda ts: jnp.searchsorted(ts, tids, side="right").astype(i32)
+    )(tid_s)
+    tile_start_g = (tile_start + f_dups).reshape(-1)
+    tile_end_g = (tile_end + f_dups).reshape(-1)
+
+    # 8. per-depth-slot presort segments (for the scatter-free gradient
+    # reduction) and the depth inverse (original row -> global depth slot)
+    gate = offs_f - ntiles.astype(jnp.float32) < max_dup
+    seg_start_g = (
+        jnp.where(gate, jnp.clip(offs_excl, 0, max_dup), max_dup) + f_dups
+    ).reshape(-1)
+    seg_end_g = (
+        jnp.where(gate, jnp.clip(offs, 0, max_dup), max_dup) + f_dups
+    ).reshape(-1)
+    iota_n = jnp.arange(n, dtype=i32)[None, :] + jnp.zeros((f, 1), i32)
+    _, inv_depth_2d = jax.lax.sort(
+        (order, iota_n + f_rows), num_keys=1, is_stable=True
+    )
+    inv_depth_flat = inv_depth_2d.reshape(-1)
+
+    return BatchBins(
+        gather_flat=gather_flat,
+        inv_perm_flat=inv_perm_flat,
+        tile_start=tile_start,
+        tile_end=tile_end,
+        tile_start_g=tile_start_g,
+        tile_end_g=tile_end_g,
+        seg_start_g=seg_start_g,
+        seg_end_g=seg_end_g,
+        inv_depth_flat=inv_depth_flat,
+        num_dup=num_dup,
     )
 
 
@@ -202,8 +387,12 @@ def bin_splats(
     dup_valid = d < jnp.minimum(total, max_dup)
     tid = jnp.where(dup_valid, tyv * tx_tiles + txv, num_tiles).astype(i32)
 
-    # 3. stable single-key sort by tile id (depth order preserved within tile)
-    tid_sorted, pos_sorted = jax.lax.sort((tid, orig), num_keys=1, is_stable=True)
+    # 3. stable single-key sort by tile id (depth order preserved within
+    #    tile); carry the pre-sort position as a second payload for the
+    #    scatter-free gradient reduction
+    tid_sorted, pos_sorted, dup_presort = jax.lax.sort(
+        (tid, orig, d), num_keys=1, is_stable=True
+    )
     gather_idx = pos_sorted
 
     # 4. per-tile ranges
@@ -229,6 +418,13 @@ def bin_splats(
     prev_block = jnp.concatenate([jnp.full((1,), -1, i32), work_block[:-1]])
     block_first = (~pad) & (work_block != prev_block)
 
+    # per-splat duplicate segments in presort order (for the scatter-free
+    # gradient reduction); splats whose range starts past the buffer get an
+    # empty segment at D
+    gate = offs_f - ntiles.astype(jnp.float32) < max_dup
+    seg_start = jnp.where(gate, jnp.clip(offs_excl, 0, max_dup), max_dup)
+    seg_end = jnp.where(gate, jnp.clip(offs, 0, max_dup), max_dup)
+
     return TileBins(
         gather_idx=gather_idx,
         tile_start=tile_start,
@@ -240,4 +436,8 @@ def bin_splats(
         is_pad=pad.astype(i32),
         block_first=block_first.astype(i32),
         num_dup=total.astype(i32),
+        dup_presort=dup_presort,
+        seg_start=seg_start.astype(i32),
+        seg_end=seg_end.astype(i32),
+        depth_order=order,
     )

@@ -115,27 +115,27 @@ def _composite_chunk(a, t_in, alive):
 
     Returns (weight, t_k, a_eff, keep, t_out, alive_out):
       weight (P,C) = a_eff * T at each splat;  t_k (P,C) transmittance at k.
-    """
+
+    ONE cumsum suffices (the kernel is MXU-bound on these triangular
+    matmuls; this replaced a 3-cumsum formulation for a ~57% FLOP cut):
+    the INRIA early-termination test at splat k is T_k*(1-a_k) >= eps with
+    T monotone non-increasing, so the first failure terminates the pixel
+    permanently and ``keep`` is a PREFIX mask — computable directly from
+    the raw inclusive prefix T without a trigger-prefix cumsum.  On the
+    kept prefix raw == effective transmittance, so weights use the raw
+    prefix too, and the effective carry-out T is the raw T at the last
+    kept splat — a cheap lane-min instead of a second log-cumsum."""
     logs = jnp.log1p(-a)
     cum_incl = _cumsum_lanes(logs)
-    cum_excl = cum_incl - logs
-    t_excl = t_in * jnp.exp(cum_excl)
-    trigger = (t_excl * (1.0 - a) < T_EPS).astype(jnp.float32)
-    # prefix-OR via the triangular matmul: a pltpu.roll ladder measured
-    # slower (VPU rolls contend; the MXU overlaps with everything else)
-    trig_pre = _cumsum_lanes(trigger)
-    keep = (trig_pre == 0.0) & (alive > 0.0)
+    t_excl = t_in * jnp.exp(cum_incl - logs)
+    t_incl = t_in * jnp.exp(cum_incl)
+    keep = (t_incl >= T_EPS) & (alive > 0.0)
     a_eff = jnp.where(keep, a, 0.0)
-
-    # log1p(-a_eff) == keep ? logs : 0, exactly — no second log evaluation
-    logs_eff = jnp.where(keep, logs, 0.0)
-    cum2_incl = _cumsum_lanes(logs_eff)
-    cum2_excl = cum2_incl - logs_eff
-    t_k = t_in * jnp.exp(cum2_excl)
-    weight = a_eff * t_k
-    t_out = t_in * jnp.exp(cum2_incl[:, -1:])
-    alive_out = alive * (trig_pre[:, -1:] == 0.0).astype(jnp.float32)
-    return weight, t_k, a_eff, keep, t_out, alive_out
+    weight = a_eff * t_excl
+    # terminal T: raw T at the last kept splat (t_in when none kept)
+    t_out = jnp.min(jnp.where(keep, t_incl, t_in), axis=1, keepdims=True)
+    alive_out = alive * (t_incl[:, -1:] >= T_EPS).astype(jnp.float32)
+    return weight, t_excl, a_eff, keep, t_out, alive_out
 
 
 def _fwd_kernel(
@@ -461,6 +461,24 @@ def _train_kernel(
         acc[:, 4:5] = alive_out
 
 
+_SMEM_BUDGET_BYTES = 700 * 1024  # v5e SMEM is 1 MB; leave headroom for the
+# kernel's own scalars (measured OOM at 1.63M used / 1.00M available)
+
+
+def max_frame_group(
+    width: int, height: int, tile: int, max_dup: int, chunk: int = 128
+) -> int:
+    """Largest frame count per fused launch whose scalar-prefetch arrays
+    (3 work-list vectors + per-tile ranges, all int32 in SMEM) fit the
+    budget.  Exceeding SMEM is a hard compile error on TPU."""
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+    w2 = 2 * work_capacity(num_tiles, max_dup, chunk)
+    per_frame = (3 * w2 + 2 * num_tiles) * 4
+    return max(1, _SMEM_BUDGET_BYTES // per_frame)
+
+
 def _worklist_flags(w2) -> jax.Array:
     """Pack the four TwoPassWork booleans into one int32 bitfield array
     (scalar-prefetch operands live in small SMEM; frame batching multiplies
@@ -572,7 +590,9 @@ def composite_train_tiles(
     the projection with jax.vjp at the call site."""
     from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
 
-    w2 = make_two_pass_worklist(bins, num_tiles, max_dup, chunk)
+    w2 = make_two_pass_worklist(
+        bins.tile_start, bins.tile_end, num_tiles, max_dup, chunk
+    )
     bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
     return _composite_train_flat(
         feat16, truth_tiles, bg4,
@@ -613,7 +633,10 @@ def render_train_grads_batch(
                  reference radix-sorts the exact count and cannot truncate,
                  src/Trainer.cu:334-360; callers should grow max_dup).
     """
-    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
+    from gaussian_splatterer_tpu.ops.binning import (
+        bin_splats_batch,
+        make_two_pass_worklist,
+    )
 
     if interpret is None:
         interpret = _should_interpret()
@@ -637,12 +660,10 @@ def render_train_grads_batch(
             views, proj_views, cam_posns, tan_fovxs, tan_fovys
         )
     )
-    bins = jax.vmap(
-        lambda p: bin_splats(p, width, height, tile, max_dup, chunk)
-    )(proj_sg)
+    bins = bin_splats_batch(proj_sg, width, height, tile, max_dup, chunk)
     w2 = jax.vmap(
-        lambda b: make_two_pass_worklist(b, num_tiles, max_dup, chunk)
-    )(bins)
+        lambda ts, te: make_two_pass_worklist(ts, te, num_tiles, max_dup, chunk)
+    )(bins.tile_start, bins.tile_end)
 
     # flatten to global (frame-major) ids
     f_col = jnp.arange(f, dtype=i32)[:, None]
@@ -654,47 +675,68 @@ def render_train_grads_batch(
         f * num_blocks,
         w2.slab_segment + f_col * num_blocks,
     ).reshape(-1)
-    tstart_g = (bins.tile_start + f_col * max_dup).reshape(-1)
-    tend_g = (bins.tile_end + f_col * max_dup).reshape(-1)
 
     # Differentiable feature build.  means are broadcast to (F, C, 3) so the
     # pullback returns PER-FRAME location gradients — the densify variance
     # signal needs per-frame norms, not just the sum (src/Trainer.cu:52-54).
+    # The vjp covers ONLY the projection (rows); the duplicate gather's
+    # transpose is done explicitly below as a scatter-FREE reduction (XLA's
+    # TPU scatter expansion measured 19 ms/frame and blew up compile times).
     means_b = jnp.broadcast_to(means, (f,) + means.shape)
 
-    def build_feat16(means_b, shs_, scales_, opac_, rot_):
-        def one(mb, view, pv, pos, tx, ty, gidx):
+    def build_rows(means_b, shs_, scales_, opac_, rot_):
+        def one(mb, view, pv, pos, tx, ty):
             pr = project_splat_components(
                 mb, shs_, scales_, opac_, rot_, active,
                 view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
             )
-            rows = jnp.stack(
+            return jnp.stack(
                 [pr.mx, pr.my, pr.ca, pr.cb, pr.cc,
-                 pr.cr, pr.cg, pr.cb2, pr.opacity], axis=-1,
-            )  # (N, 9)
-            return rows[gidx]  # (D, 9)
+                 pr.cr, pr.cg, pr.cb2, pr.opacity], axis=0,
+            )  # (9, N)
 
-        gathered = jax.vmap(one)(
-            means_b, views, proj_views, cam_posns, tan_fovxs, tan_fovys,
-            bins.gather_idx,
-        )  # (F, D, 9)
-        return (
-            jnp.zeros((f * max_dup, _F_ROWS), jnp.float32)
-            .at[:, :9].set(gathered.reshape(f * max_dup, 9)).T
-        )
+        return jax.vmap(one)(
+            means_b, views, proj_views, cam_posns, tan_fovxs, tan_fovys
+        )  # (F, 9, N)
 
-    feat16, pull = jax.vjp(
-        build_feat16, means_b, shs, scales, opacities, rotations
+    rows, pull_rows = jax.vjp(
+        build_rows, means_b, shs, scales, opacities, rotations
     )
+    n_cap = means.shape[0]
+    rows9 = jnp.moveaxis(rows, 0, 1).reshape(9, f * n_cap)
+    gathered9 = rows9[:, bins.gather_flat]  # (9, F*D) flat column gather
+    feat16 = jnp.zeros((_F_ROWS, f * max_dup), jnp.float32).at[:9].set(gathered9)
     bg4 = jnp.zeros((f, 4), jnp.float32).at[:, :3].set(
         jnp.asarray(backgrounds, jnp.float32)
     )
     truth_flat = truth_tiles.reshape(f * num_tiles, p_count, 3)
     res4, d_feat16 = _composite_train_flat(
-        feat16, truth_flat, bg4, wt_g, wb_g, flags, seg_g, tstart_g, tend_g,
+        feat16, truth_flat, bg4, wt_g, wb_g, flags, seg_g,
+        bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
     )
-    d_means_b, d_shs, d_scales, d_opac, d_rot = pull(d_feat16)
+    # ---- duplicate-gradient reduction, scatter-free -------------------
+    # d_feat16 is per TILE-SORTED duplicate; permute (column gather) to
+    # depth/presort order where each splat's duplicates are CONTIGUOUS,
+    # cumsum once globally, take per-splat segment differences, and gather
+    # back to original row order.  Sorts/gathers/cumsums only — XLA's TPU
+    # scatter lowering measured 19 ms/frame and pathological compiles.
+    d_gath9 = d_feat16[:9]  # (9, F*D)
+    d_pre9 = d_gath9[:, bins.inv_perm_flat]
+    cs9 = jnp.cumsum(d_pre9, axis=1)
+    fD = f * max_dup
+    hi9 = cs9[:, jnp.clip(bins.seg_end_g - 1, 0, fD - 1)]  # (9, F*N)
+    lo9 = jnp.where(
+        (bins.seg_start_g > 0)[None, :],
+        cs9[:, jnp.clip(bins.seg_start_g - 1, 0, fD - 1)],
+        0.0,
+    )
+    seg9 = jnp.where(
+        (bins.seg_end_g > bins.seg_start_g)[None, :], hi9 - lo9, 0.0
+    )  # (9, F*N) per global depth slot
+    d_rows9 = seg9[:, bins.inv_depth_flat]  # per original row id
+    d_rows = jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)
+    d_means_b, d_shs, d_scales, d_opac, d_rot = pull_rows(d_rows)
     g_means = jnp.sum(d_means_b, axis=0)
     var_loc = jnp.sum(
         jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0

@@ -87,10 +87,19 @@ def make_local_accumulate(
         )
     if fused:
         from gaussian_splatterer_tpu.ops.raster_tiled import (
+            max_frame_group,
             render_train_grads_batch,
         )
 
         fkw = _fused_kw(runtime)
+        # scalar-prefetch arrays live in 1 MB SMEM: cap the group size
+        frame_group = min(
+            frame_group,
+            max_frame_group(
+                width, height, fkw.get("tile", 32),
+                fkw.get("max_dup", 2**18), fkw.get("chunk", 128),
+            ),
+        )
 
         def local_accumulate(params, active, capacity, truths, cams, bgs):
             n_local = truths.shape[0]

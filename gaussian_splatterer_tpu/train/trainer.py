@@ -156,7 +156,20 @@ def make_train_step(
     render = render_fn if render_fn is not None else _default_render(renderer, row_chunk)
     fkw = fused_opts or {}
     if fused:
-        from gaussian_splatterer_tpu.ops.raster_tiled import render_train_grads_batch
+        from gaussian_splatterer_tpu.ops.raster_tiled import (
+            max_frame_group,
+            render_train_grads_batch,
+        )
+
+        # scalar-prefetch arrays live in 1 MB SMEM: cap the group size
+        frame_group = min(
+            frame_group,
+            max_frame_group(
+                width, height,
+                fkw.get("tile", 32), fkw.get("max_dup", 2**18),
+                fkw.get("chunk", 128),
+            ),
+        )
 
     @jax.jit
     def step(model: SplatModel, truths: jax.Array, cams: CameraBatch, lrs: LearningRates):

@@ -28,6 +28,8 @@ STAGES = {
     "mid16": (256, 32, 16, 30_000, 32_768, 2**17),
     "big": (1024, 32, 8, 50_000, 65_536, 2**18),
     "big16": (1024, 32, 16, 50_000, 65_536, 2**18),
+    "big_t16": (1024, 16, 2, 50_000, 65_536, 2**19),
+    "big_t8": (1024, 8, 1, 50_000, 65_536, 2**20),
 }
 
 

@@ -52,8 +52,9 @@ def build_model(capacity, n_splats, seed=0):
     )
 
 
-def summarize_trace(trace_dir):
-    """Parse the chrome-format device trace and print top ops by time."""
+def summarize_trace(trace_dir, steps=3):
+    """Parse the chrome-format device trace and print top ops by per-step
+    time with their source attribution."""
     files = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -63,25 +64,32 @@ def summarize_trace(trace_dir):
     with gzip.open(sorted(files)[-1], "rt") as f:
         data = json.load(f)
     by_name = defaultdict(float)
+    meta = {}
     total = 0.0
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
-        pid_name = ev.get("pid")
         name = ev.get("name", "")
-        # keep only device lanes (XLA ops); heuristic: args carry long_name
         args = ev.get("args") or {}
         if "long_name" not in args and "tf_op" not in args and not name.startswith(
-            ("fusion", "custom-call", "sort", "scatter", "gather", "copy",
-             "dynamic", "reduce", "transpose", "convert", "iota", "broadcast",
-             "concatenate", "slice", "select", "bitcast", "all-")
+            ("fusion", "custom-call", "closed_call", "sort", "scatter",
+             "gather", "copy", "while", "dynamic", "reduce", "transpose",
+             "convert", "iota", "broadcast", "concatenate", "slice",
+             "select", "bitcast", "all-", "cumsum")
         ):
             continue
         by_name[name] += ev["dur"] / 1e3  # us -> ms
         total += ev["dur"] / 1e3
-    print(f"\n-- device ops by total ms (trace total {total:.1f} ms) --")
-    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{ms:9.2f} ms  {name}")
+        if name not in meta:
+            ln = args.get("long_name", "")
+            src = (args.get("source") or "").split("/")[-1]
+            shape = ln.split(" = ")[1].split(" ")[0] if " = " in ln else ""
+            meta[name] = (shape[:48], src[:40])
+    print(f"\n-- device ops, ms per step (trace total {total:.1f} ms / "
+          f"{steps} steps) --")
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:22]:
+        shape, src = meta.get(name, ("", ""))
+        print(f"{ms/steps:9.2f} ms  {name:22s} {shape:50s} {src}")
 
 
 def main():

@@ -302,7 +302,11 @@ def test_batched_train_grads_match_per_frame():
     names = ["means", "shs", "scales", "opacities", "rotations"]
     for name, a, b in zip(names, g_b, g_s):
         scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        # 3e-5: the scatter-free duplicate reduction sums via a GLOBAL
+        # cumsum whose prefix crosses frame boundaries in the batch —
+        # prefix-difference rounding differs from the per-frame runs by
+        # O(prefix * 2^-24), far below the MC truth noise training sees
         np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5,
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-5,
             err_msg=f"batched gradient mismatch: {name}",
         )

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from gaussian_splatterer_tpu.io.gobj import load_gobj, save_gobj
 from gaussian_splatterer_tpu.io.obj import load_obj
@@ -157,3 +158,31 @@ def test_viewer_html_export_roundtrip(tmp_path):
     np.testing.assert_allclose(data[:, 6:10], h.rotations[:5])
     np.testing.assert_allclose(data[:, 22], h.opacities[:5])
     assert '"count": 5' in html
+
+
+@pytest.mark.parametrize("sh_degree", [2, 3])
+def test_gobj_roundtrip_high_sh_degree(tmp_path, sh_degree):
+    """.gobj round-trip at SH degree 2-3: the reference infers the SH width
+    from the first `sh` line (src/ui/UiFrame.cpp:419-420) — 9/16-coeff
+    lines must survive write->read with degree re-inferred."""
+    from gaussian_splatterer_tpu.io.gobj import load_gobj, save_gobj
+
+    k = (sh_degree + 1) ** 2
+    rng = np.random.default_rng(sh_degree)
+    h = SplatModelHost(8, sh_degree, k)
+    for _ in range(4):
+        h.push_back(rng.uniform(-1, 1, 3), rng.normal(0, 0.3, (k, 3)),
+                    rng.uniform(0.05, 0.3, 3), rng.uniform(0.2, 1),
+                    rng.normal(0, 1, 4))
+    path = str(tmp_path / "hi_sh.gobj")
+    save_gobj(h, path)
+    # the sh lines carry 3*k floats
+    sh_lines = [l for l in open(path) if l.startswith("sh ")]
+    assert len(sh_lines) == 4
+    assert all(len(l.split()) == 1 + 3 * k for l in sh_lines)
+
+    back = load_gobj(path, capacity=8)
+    assert back.sh_coeffs == k
+    assert back.sh_degree == sh_degree
+    np.testing.assert_allclose(back.shs[:4], h.shs[:4], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(back.means[:4], h.means[:4], rtol=1e-4, atol=1e-5)
