@@ -100,8 +100,11 @@ def make_two_pass_worklist(
     w_actual = w_offs[-1]
     w_cap2 = 2 * work_capacity(num_tiles, max_dup, chunk)
     w = jnp.arange(w_cap2, dtype=i32)
+    # wt = searchsorted(w_offs, w, 'right') as a dense count (searchsorted
+    # lowers to a slow while loop under vmap; (T, W2) fuses into the sum)
     wt = jnp.minimum(
-        jnp.searchsorted(w_offs, w, side="right").astype(i32), num_tiles - 1
+        jnp.sum(w_offs[:, None] <= w[None, :], axis=0).astype(i32),
+        num_tiles - 1,
     )
     l = w - (w_offs - n2)[wt]
     npass = n_chunks[wt]
@@ -258,14 +261,18 @@ def bin_splats_batch(
     )
     inv_perm_flat = inv_2d.reshape(-1)
 
-    # 7. per-frame tile ranges (batched searchsorted)
+    # 7. per-frame tile ranges as COUNTS (order-independent, so they use
+    # the unsorted tids): tile_start[t] = #dups with tid < t.  Batched
+    # searchsorted lowers to a slow gather-per-pass while loop; the dense
+    # compare fuses into the reduction without materializing (T, D).
     tids = jnp.arange(num_tiles, dtype=i32)
-    tile_start = jax.vmap(
-        lambda ts: jnp.searchsorted(ts, tids, side="left").astype(i32)
-    )(tid_s)
-    tile_end = jax.vmap(
-        lambda ts: jnp.searchsorted(ts, tids, side="right").astype(i32)
-    )(tid_s)
+
+    def ranges(ts):
+        lt = jnp.sum(ts[None, :] < tids[:, None], axis=1).astype(i32)
+        le = jnp.sum(ts[None, :] <= tids[:, None], axis=1).astype(i32)
+        return lt, le
+
+    tile_start, tile_end = jax.vmap(ranges)(tid_2d)
     tile_start_g = (tile_start + f_dups).reshape(-1)
     tile_end_g = (tile_end + f_dups).reshape(-1)
 

@@ -21,7 +21,7 @@ from gaussian_splatterer_tpu.ops.raster_tiled import (
 )
 
 STAGES = {
-    # name: (res, tile, frames, n_splats, cap, max_dup)
+    # name: (res, tile, frames, n_splats, cap, max_dup[, chunk])
     "tiny": (64, 16, 2, 100, 128, 2**10),
     "small": (256, 32, 4, 5_000, 8_192, 2**14),
     "mid": (256, 32, 8, 30_000, 32_768, 2**17),
@@ -30,11 +30,16 @@ STAGES = {
     "big16": (1024, 32, 16, 50_000, 65_536, 2**18),
     "big_t16": (1024, 16, 2, 50_000, 65_536, 2**19),
     "big_t8": (1024, 8, 1, 50_000, 65_536, 2**20),
+    "big_c64": (1024, 32, 8, 50_000, 65_536, 2**18, 64),
+    "big_c256": (1024, 32, 8, 50_000, 65_536, 2**18, 256),
+    "big_c512": (1024, 32, 8, 50_000, 65_536, 2**18, 512),
 }
 
 
 def run_stage(name):
-    res, tile, f, n, cap, max_dup = STAGES[name]
+    cfg = STAGES[name]
+    res, tile, f, n, cap, max_dup = cfg[:6]
+    chunk = cfg[6] if len(cfg) > 6 else 128
     rng = np.random.default_rng(0)
     means = np.zeros((cap, 3), np.float32)
     means[:n] = rng.uniform(-2, 2, (n, 3))
@@ -70,7 +75,7 @@ def run_stage(name):
             *params, active, views, pvs, poss,
             jnp.asarray(tans[:, 0]), jnp.asarray(tans[:, 1]),
             res, res, truth_tiles, bgs, 1,
-            tile=tile, max_dup=max_dup,
+            tile=tile, max_dup=max_dup, chunk=chunk,
         )
         return loss, grads, var, nd
 
