@@ -134,7 +134,10 @@ class BatchBins(NamedTuple):
     = f*N + local, dup id = f*D + local, tile id = f*T + local)."""
 
     gather_flat: jax.Array  # (F*D,) global feature-row id per sorted dup
-    inv_perm_flat: jax.Array  # (F*D,) global SORTED position per presort dup
+    presort_pos: jax.Array  # (F, D) LOCAL presort (depth) position per
+    # tile-sorted dup slot — the sort key that carries per-dup gradient rows
+    # back to depth order (payload sort ≈ 5.5 ms vs 13 ms inverse-perm
+    # gather at 1M dups, measured by scripts/gather_probe.py)
     tile_start: jax.Array  # (F, T) local dup ranges per tile
     tile_end: jax.Array  # (F, T)
     tile_start_g: jax.Array  # (F*T,) global (+f*D) — kernel convention
@@ -202,28 +205,79 @@ def bin_splats_batch(
     offs_f = jnp.cumsum(ntiles.astype(jnp.float32), axis=-1)  # overflow gate
     num_dup = jnp.minimum(offs_f[:, -1], jnp.float32(2**31 - 2**8)).astype(i32)
 
-    # 4. seed + cummax duplicate fill over the GLOBAL buffer.  Seed values
-    # are global depth slots (f*N + slot + 1): strictly increasing along the
-    # flat buffer, so a single global cummax cannot leak a frame's ids
-    # backward into an earlier frame and any forward leak (empty frame) is
-    # gated off by dup_valid below.
-    depth_slot = jnp.arange(n, dtype=i32)[None, :] + f_rows  # (F, N) global
+    # 4.+5. per-dup splat attributes WITHOUT the (5, F*D) gather (measured
+    # ~25 ms at 1M dups — XLA column gathers run ~7 ns/row): bit-pack each
+    # depth-ordered splat's (spans_x, x0, y0, orig) under a monotone carrier
+    # (its depth slot + 1), scatter the packed words at the splats' first-
+    # duplicate positions, and fill the gaps with a batched per-frame
+    # cummax — monotone carriers make cummax pick the latest seed, and the
+    # packed low bits ride along.  offs_excl is itself monotone at seed
+    # positions, so it travels as its own un-packed word.  Batched scatter
+    # with shared indices + batched cummax measured ~0.1 ms total
+    # (scripts/scatter_probe.py).
     nonempty = (ntiles > 0) & (offs_f - ntiles.astype(jnp.float32) < max_dup)
     starts_g = jnp.where(nonempty, offs_excl + f_dups, fD).reshape(-1)
-    seed = (
-        jnp.zeros((fD,), i32).at[starts_g].max(
-            (depth_slot + 1).reshape(-1), mode="drop"
-        )
-    )
-    sid_g = jax.lax.cummax(seed) - 1  # (F*D,) global depth slot, -1 = none
-    sid_c = jnp.maximum(sid_g, 0)
 
-    # 5. per-dup lookups: ONE flat column gather over depth-slot tables
-    tabs = jnp.stack(
-        [offs_excl, spans_x, x0, y0, order], axis=0
-    ).reshape(5, fN)  # indexed by global depth slot
-    g5 = tabs[:, sid_c]  # (5, F*D)
-    oe, wdt, gx0, gy0, orig_local = g5[0], g5[1], g5[2], g5[3], g5[4]
+    carrier_bits = n.bit_length()  # slot_local + 1 <= n
+    payload_bits = 31 - carrier_bits
+    if payload_bits < 4:
+        raise ValueError(
+            f"splat capacity {n} leaves {payload_bits} packing bits; "
+            "the packed-cummax binning supports capacities < 2^27"
+        )
+    fields = [
+        ("wdt", spans_x, max(1, tx_tiles.bit_length())),
+        ("gx0", x0, max(1, tx_tiles.bit_length())),
+        ("gy0", y0, max(1, ty_tiles.bit_length())),
+        ("orig", order, max(1, (n - 1).bit_length())),
+    ]
+    # first-fit packing, splitting fields across words when needed; each
+    # segment records (word, shift-in-word, bits, position-in-field)
+    segments: dict[str, list[tuple[int, int, int, int]]] = {f0: [] for f0, _, _ in fields}
+    word_exprs: list[jax.Array] = []
+    cur = jnp.zeros((f, n), i32)
+    room = payload_bits
+    for name, val, bits in fields:
+        pos = bits  # unconsumed high bits of this field
+        while pos > 0:
+            if room == 0:
+                word_exprs.append(cur)
+                cur = jnp.zeros((f, n), i32)
+                room = payload_bits
+            take = min(pos, room)
+            chunk_val = (val >> (pos - take)) & ((1 << take) - 1)
+            room -= take
+            pos -= take
+            segments[name].append((len(word_exprs), room, take, pos))
+            cur = cur | (chunk_val << room)
+    word_exprs.append(cur)
+
+    slot_local = jnp.arange(n, dtype=i32)[None, :] + jnp.zeros((f, 1), i32)
+    carrier = (slot_local + 1) << payload_bits
+    seeds = jnp.stack(
+        [offs_excl + 1] + [carrier | wv for wv in word_exprs]
+    )  # (W, F, N); word 0 = offs_excl + 1 (its own monotone carrier)
+    n_words = seeds.shape[0]
+    filled = jax.lax.cummax(
+        jnp.zeros((n_words, fD), i32)
+        .at[:, starts_g]
+        .max(seeds.reshape(n_words, fN), mode="drop")
+        .reshape(n_words, f, max_dup),
+        axis=2,
+    ).reshape(n_words, fD)
+    oe = filled[0] - 1  # -1 before the first seed: gated by dup_valid
+
+    def unpack(name: str) -> jax.Array:
+        out = jnp.zeros((fD,), i32)
+        for word, shift, bits, pos in segments[name]:
+            out = out | (
+                ((filled[1 + word] >> shift) & ((1 << bits) - 1)) << pos
+            )
+        return out
+
+    wdt, gx0, gy0, orig_local = (
+        unpack("wdt"), unpack("gx0"), unpack("gy0"), unpack("orig")
+    )
 
     d_flat = jnp.arange(fD, dtype=i32)
     d_local = d_flat % max_dup
@@ -251,15 +305,7 @@ def bin_splats_batch(
         (tid_2d, orig_2d, dpre_2d), num_keys=1, is_stable=True
     )
     gather_flat = gather_2d.reshape(-1)
-
-    # inverse permutation per frame via one more batched sort: for each
-    # presort slot (ascending), where it landed in tile order (globally)
-    sorted_pos_2d = dpre_2d + 0  # global positions 0..fD-1, row-major
     pre_local_2d = dup_presort_2d - f_dups
-    _, inv_2d = jax.lax.sort(
-        (pre_local_2d, sorted_pos_2d), num_keys=1, is_stable=True
-    )
-    inv_perm_flat = inv_2d.reshape(-1)
 
     # 7. per-frame tile ranges as COUNTS (order-independent, so they use
     # the unsorted tids): tile_start[t] = #dups with tid < t.  Batched
@@ -293,7 +339,7 @@ def bin_splats_batch(
 
     return BatchBins(
         gather_flat=gather_flat,
-        inv_perm_flat=inv_perm_flat,
+        presort_pos=pre_local_2d,
         tile_start=tile_start,
         tile_end=tile_end,
         tile_start_g=tile_start_g,

@@ -35,6 +35,7 @@ finishes the chain to the model parameters.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,25 @@ from gaussian_splatterer_tpu.ops.transforms import (
 # feature row layout in the packed (16, D) array
 _F_MX, _F_MY, _F_CA, _F_CB, _F_CC, _F_CR, _F_CG, _F_CB2, _F_OP = range(9)
 _F_ROWS = 16  # padded to a full sublane tile
+_F_ROWS_T = 9  # train path: Mosaic allows a block dim EQUAL to the array
+# dim (no 8-divisibility pad), so feature/gradient-slab HBM traffic stays
+# at the true 9 rows instead of 16 (-44%)
+
+
+# Perf-ablation switches (scripts/kernel_ablate.py): comma-separated set in
+# GSPLAT_ABLATE replaces a kernel stage with a cheap stand-in to attribute
+# runtime.  NUMERICALLY WRONG — timing experiments only, never training.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("GSPLAT_ABLATE", "").split(","))
+)
+
+
+def _exp_v(x: jax.Array) -> jax.Array:
+    return x if "exp" in _ABLATE else jnp.exp(x)
+
+
+def _log1p_neg(a: jax.Array) -> jax.Array:
+    return -a if "log" in _ABLATE else jnp.log1p(-a)
 
 
 def _should_interpret() -> bool:
@@ -74,6 +94,8 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
     transmittance sums: the MXU matmul overlaps with the kernel's VPU work
     while lane-rotates contend for the vector unit.  (jnp.cumsum does not
     lower in Pallas TPU.)"""
+    if "cumsum" in _ABLATE:
+        return x
     return jnp.dot(x, _upper_tri(x.shape[-1]), preferred_element_type=jnp.float32)
 
 
@@ -102,7 +124,7 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
     dx = px - mx  # (P, chunk)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    expp = jnp.exp(power)
+    expp = _exp_v(power)
     alpha_raw = op * expp
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
     contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
@@ -125,10 +147,12 @@ def _composite_chunk(a, t_in, alive):
     kept prefix raw == effective transmittance, so weights use the raw
     prefix too, and the effective carry-out T is the raw T at the last
     kept splat — a cheap lane-min instead of a second log-cumsum."""
-    logs = jnp.log1p(-a)
-    cum_incl = _cumsum_lanes(logs)
-    t_excl = t_in * jnp.exp(cum_incl - logs)
-    t_incl = t_in * jnp.exp(cum_incl)
+    logs = _log1p_neg(a)
+    cum_excl = _cumsum_lanes(logs) - logs
+    t_excl = t_in * _exp_v(cum_excl)
+    # t_incl = t_in * exp(cum_incl) algebraically; one exp + one multiply —
+    # exp is the kernel's hottest VPU op, one (P, C) exp saved per item
+    t_incl = t_excl * (1.0 - a)
     keep = (t_incl >= T_EPS) & (alive > 0.0)
     a_eff = jnp.where(keep, a, 0.0)
     weight = a_eff * t_excl
@@ -318,12 +342,13 @@ _FL_FIRST = 1  # tile's first pass-1 chunk
 _FL_LAST_P1 = 2  # tile's last pass-1 chunk (residual forms here)
 _FL_PASS2 = 4  # gradient-replay pass
 _FL_PAD = 8  # padding item: skip all compute
+_FL_BITS = 4  # flag field width; the global tile id rides in the high bits
+_FL_MASK = (1 << _FL_BITS) - 1
 
 
 def _train_kernel(
-    work_tile,
+    work_tf,  # (W,) packed (global tile id << _FL_BITS) | _FL_* flags
     work_block,
-    flags,
     tstart_arr,
     tend_arr,
     feat_ref,
@@ -348,20 +373,22 @@ def _train_kernel(
     _bwd_kernel with the g.C fold, g := residual per reference semantics
     src/Trainer.cu:33-44).
 
-    Frame-batched operation: ``work_tile`` carries GLOBAL tile ids over a
-    (frame, tile) flattening; ``tiles_frame`` recovers the in-image tile
-    (pixel origin) and the frame (background row)."""
+    Frame-batched operation: ``work_tf`` carries GLOBAL tile ids over a
+    (frame, tile) flattening packed with the item flags (scalar-prefetch
+    SMEM is the frame-group limiter — see max_frame_group); ``tiles_frame``
+    recovers the in-image tile (pixel origin) and the frame (bg row)."""
     w = pl.program_id(0)
-    t = work_tile[w]
+    tf = work_tf[w]
+    t = tf >> _FL_BITS
+    fl = tf & _FL_MASK
     t_img = t % tiles_frame
     frame = t // tiles_frame
     blk = work_block[w]
-    fl = flags[w]
     p_count = tile * tile
 
     @pl.when(fl & _FL_PAD != 0)
     def _():
-        dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
+        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2)) == 0)
     def _():
@@ -371,21 +398,32 @@ def _train_kernel(
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
-        a, _, _, _, _, _, _ = _chunk_state(
-            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
-        )
-        t_in = acc[:, 3:4]
-        alive = acc[:, 4:5]
-        weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
-        cr = feat_ref[_F_CR : _F_CR + 1, :]
-        cg = feat_ref[_F_CG : _F_CG + 1, :]
-        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
-        acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
-        acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
-        acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
-        acc[:, 3:4] = t_out
-        acc[:, 4:5] = alive_out
-        dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
+        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
+
+        # Early-termination skip: once every pixel in the tile has hit the
+        # INRIA T < eps cutoff (alive == 0 for all), later chunks cannot
+        # change the composite (weight == 0, t/alive carry through), so the
+        # skip is exact — the chunk-granular analog of the CUDA per-thread
+        # `done` early exit in the reference rasterizer's forward loop.
+        @pl.when(jnp.max(acc[:, 4]) > 0.0)
+        def _():
+            a, _, _, _, _, _, _ = _chunk_state(
+                feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
+                tx_tiles, chunk,
+            )
+            t_in = acc[:, 3:4]
+            alive = acc[:, 4:5]
+            weight, _, _, _, t_out, alive_out = _composite_chunk(
+                a, t_in, alive
+            )
+            cr = feat_ref[_F_CR : _F_CR + 1, :]
+            cg = feat_ref[_F_CG : _F_CG + 1, :]
+            cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+            acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
+            acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
+            acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+            acc[:, 3:4] = t_out
+            acc[:, 4:5] = alive_out
 
         @pl.when(fl & _FL_LAST_P1 != 0)
         def _():
@@ -412,53 +450,62 @@ def _train_kernel(
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2)) == _FL_PASS2)
     def _():
-        a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
-        )
-        t_in = acc[:, 3:4]
-        alive = acc[:, 4:5]
-        weight, t_k, a_eff, keep, t_out, alive_out = _composite_chunk(a, t_in, alive)
+        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
 
-        cr = feat_ref[_F_CR : _F_CR + 1, :]
-        cg = feat_ref[_F_CG : _F_CG + 1, :]
-        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
-        g_r = acc2[:, 0:1]
-        g_g = acc2[:, 1:2]
-        g_b = acc2[:, 2:3]
-        g_t = acc2[:, 3:4]
-        g_ctot = acc2[:, 4:5]
-        t_n = acc2[:, 5:6]
+        # Same early-termination skip as pass 1: with every pixel dead,
+        # keep == False everywhere, so every gradient row and every acc
+        # update is a no-op — skipping the whole replay chunk is exact.
+        @pl.when(jnp.max(acc[:, 4]) > 0.0)
+        def _():
+            a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
+                feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
+                tx_tiles, chunk,
+            )
+            t_in = acc[:, 3:4]
+            alive = acc[:, 4:5]
+            weight, t_k, a_eff, keep, t_out, alive_out = _composite_chunk(
+                a, t_in, alive
+            )
 
-        d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
-        d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
-        d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
+            cr = feat_ref[_F_CR : _F_CR + 1, :]
+            cg = feat_ref[_F_CG : _F_CG + 1, :]
+            cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+            g_r = acc2[:, 0:1]
+            g_g = acc2[:, 1:2]
+            g_b = acc2[:, 2:3]
+            g_t = acc2[:, 3:4]
+            g_ctot = acc2[:, 4:5]
+            t_n = acc2[:, 5:6]
 
-        gc = g_r * cr + g_g * cg + g_b * cb2
-        cum_gwc = _cumsum_lanes(weight * gc)
-        g_s = g_ctot - (acc[:, 0:1] + cum_gwc)
+            d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
+            d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
+            d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
 
-        inv1ma = 1.0 / (1.0 - a_eff)
-        d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
-        grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
-        d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
+            gc = g_r * cr + g_g * cg + g_b * cb2
+            cum_gwc = _cumsum_lanes(weight * gc)
+            g_s = g_ctot - (acc[:, 0:1] + cum_gwc)
 
-        d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
-        d_power = d_alpha * alpha_raw
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-        d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+            inv1ma = 1.0 / (1.0 - a_eff)
+            d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
+            grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
+            d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
 
-        zero_rows = jnp.zeros((_F_ROWS - 9, chunk), jnp.float32)
-        dfeat_ref[0] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op, zero_rows],
-            axis=0,
-        )
+            d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
+            d_power = d_alpha * alpha_raw
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
 
-        acc[:, 0:1] += cum_gwc[:, -1:]
-        acc[:, 3:4] = t_out
-        acc[:, 4:5] = alive_out
+            dfeat_ref[0] = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op],
+                axis=0,
+            )
+
+            acc[:, 0:1] += cum_gwc[:, -1:]
+            acc[:, 3:4] = t_out
+            acc[:, 4:5] = alive_out
 
 
 _SMEM_BUDGET_BYTES = 700 * 1024  # v5e SMEM is 1 MB; leave headroom for the
@@ -469,13 +516,14 @@ def max_frame_group(
     width: int, height: int, tile: int, max_dup: int, chunk: int = 128
 ) -> int:
     """Largest frame count per fused launch whose scalar-prefetch arrays
-    (3 work-list vectors + per-tile ranges, all int32 in SMEM) fit the
-    budget.  Exceeding SMEM is a hard compile error on TPU."""
+    (2 work-list vectors — tile+flags packed into one word — plus per-tile
+    ranges, all int32 in SMEM) fit the budget.  Exceeding SMEM is a hard
+    compile error on TPU."""
     tx_tiles = -(-width // tile)
     ty_tiles = -(-height // tile)
     num_tiles = tx_tiles * ty_tiles
     w2 = 2 * work_capacity(num_tiles, max_dup, chunk)
-    per_frame = (3 * w2 + 2 * num_tiles) * 4
+    per_frame = (2 * w2 + 2 * num_tiles) * 4
     return max(1, _SMEM_BUDGET_BYTES // per_frame)
 
 
@@ -492,12 +540,11 @@ def _worklist_flags(w2) -> jax.Array:
 
 
 def _composite_train_flat(
-    feat16: jax.Array,  # (16, num_blocks_total * chunk)
+    feat9: jax.Array,  # (9, num_blocks_total * chunk)
     truth_tiles: jax.Array,  # (T_total, P, 3) — frames flattened into tiles
     bg_f4: jax.Array,  # (F, 4) per-frame background
-    work_tile: jax.Array,  # (W,) GLOBAL tile ids (frame-major)
+    work_tf: jax.Array,  # (W,) GLOBAL (tile id << _FL_BITS) | flags
     work_block: jax.Array,  # (W,) GLOBAL feature-block ids
-    flags: jax.Array,  # (W,) packed _FL_* bits
     slab_segment: jax.Array,  # (W,) global block id for pass-2 slabs, else B_total
     tstart: jax.Array,  # (T_total,) global duplicate range starts
     tend: jax.Array,  # (T_total,)
@@ -509,24 +556,24 @@ def _composite_train_flat(
     interpret: bool,
 ):
     """Run the fused train kernel over a flat (possibly multi-frame) work
-    list.  Returns (res4 (T_total, P, 4), d_feat16 (16, B_total*chunk))."""
+    list.  Returns (res4 (T_total, P, 4), d_feat9 (9, B_total*chunk))."""
     p_count = tile * tile
     num_tiles_total = truth_tiles.shape[0]
-    w_cap = work_tile.shape[0]
+    w_cap = work_tf.shape[0]
     kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(w_cap,),
         in_specs=[
             pl.BlockSpec(
-                (_F_ROWS, chunk),
-                lambda w, wt, wb, *_: (0, wb[w]),
+                (_F_ROWS_T, chunk),
+                lambda w, wtf, wb, *_: (0, wb[w]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, p_count, 3),
-                lambda w, wt, wb, *_: (wt[w], 0, 0),
+                lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -534,12 +581,12 @@ def _composite_train_flat(
         out_specs=(
             pl.BlockSpec(
                 (1, p_count, 4),
-                lambda w, wt, wb, *_: (wt[w], 0, 0),
+                lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _F_ROWS, chunk),
-                lambda w, wt, wb, *_: (w, 0, 0),
+                (1, _F_ROWS_T, chunk),
+                lambda w, wtf, wb, *_: (w, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -552,25 +599,25 @@ def _composite_train_flat(
         functools.partial(_train_kernel, **kw),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles_total, p_count, 4), jnp.float32),
-            jax.ShapeDtypeStruct((w_cap, _F_ROWS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((w_cap, _F_ROWS_T, chunk), jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(work_tile, work_block, flags, tstart, tend, feat16, truth_tiles, bg_f4)
+    )(work_tf, work_block, tstart, tend, feat9, truth_tiles, bg_f4)
     dfeat_blocks = jax.ops.segment_sum(
         dfeat_slabs, slab_segment, num_segments=num_blocks_total + 1
     )[:num_blocks_total]
-    d_feat16 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
-        _F_ROWS, num_blocks_total * chunk
+    d_feat9 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
+        _F_ROWS_T, num_blocks_total * chunk
     )
-    return res4, d_feat16
+    return res4, d_feat9
 
 
 def composite_train_tiles(
-    feat16: jax.Array,
+    feat9: jax.Array,
     truth_tiles: jax.Array,  # (T, P, 3)
     background: jax.Array,  # (3,)
     bins: TileBins,
@@ -585,7 +632,7 @@ def composite_train_tiles(
     per-tile signed residual AND the duplicate-feature gradients
     (g := residual).
 
-    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat16 (16, D)).
+    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat9 (9, D)).
     Gradients are returned as data, not via autodiff — chain them through
     the projection with jax.vjp at the call site."""
     from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
@@ -594,9 +641,10 @@ def composite_train_tiles(
         bins.tile_start, bins.tile_end, num_tiles, max_dup, chunk
     )
     bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
+    wtf = (w2.work_tile << _FL_BITS) | _worklist_flags(w2)
     return _composite_train_flat(
-        feat16, truth_tiles, bg4,
-        w2.work_tile, w2.work_block, _worklist_flags(w2), w2.slab_segment,
+        feat9, truth_tiles, bg4,
+        wtf, w2.work_block, w2.slab_segment,
         bins.tile_start, bins.tile_end,
         max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
     )
@@ -667,9 +715,9 @@ def render_train_grads_batch(
 
     # flatten to global (frame-major) ids
     f_col = jnp.arange(f, dtype=i32)[:, None]
-    wt_g = (w2.work_tile + f_col * num_tiles).reshape(-1)
+    wt_g = w2.work_tile + f_col * num_tiles
+    wtf_g = ((wt_g << _FL_BITS) | _worklist_flags(w2)).reshape(-1)
     wb_g = (w2.work_block + f_col * num_blocks).reshape(-1)
-    flags = _worklist_flags(w2).reshape(-1)
     seg_g = jnp.where(
         w2.slab_segment == num_blocks,
         f * num_blocks,
@@ -704,25 +752,32 @@ def render_train_grads_batch(
     )
     n_cap = means.shape[0]
     rows9 = jnp.moveaxis(rows, 0, 1).reshape(9, f * n_cap)
-    gathered9 = rows9[:, bins.gather_flat]  # (9, F*D) flat column gather
-    feat16 = jnp.zeros((_F_ROWS, f * max_dup), jnp.float32).at[:9].set(gathered9)
+    feat9 = rows9[:, bins.gather_flat]  # (9, F*D) flat column gather
     bg4 = jnp.zeros((f, 4), jnp.float32).at[:, :3].set(
         jnp.asarray(backgrounds, jnp.float32)
     )
     truth_flat = truth_tiles.reshape(f * num_tiles, p_count, 3)
-    res4, d_feat16 = _composite_train_flat(
-        feat16, truth_flat, bg4, wt_g, wb_g, flags, seg_g,
+    res4, d_feat9 = _composite_train_flat(
+        feat9, truth_flat, bg4, wtf_g, wb_g, seg_g,
         bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
     )
     # ---- duplicate-gradient reduction, scatter-free -------------------
-    # d_feat16 is per TILE-SORTED duplicate; permute (column gather) to
-    # depth/presort order where each splat's duplicates are CONTIGUOUS,
-    # cumsum once globally, take per-splat segment differences, and gather
-    # back to original row order.  Sorts/gathers/cumsums only — XLA's TPU
-    # scatter lowering measured 19 ms/frame and pathological compiles.
-    d_gath9 = d_feat16[:9]  # (9, F*D)
-    d_pre9 = d_gath9[:, bins.inv_perm_flat]
+    # d_feat16 is per TILE-SORTED duplicate; carry it back to depth/presort
+    # order (where each splat's duplicates are CONTIGUOUS) as PAYLOADS of a
+    # batched key sort — measured ~5.5 ms vs ~13 ms for the equivalent
+    # inverse-permutation column gather plus ~5 ms for the inverse-perm
+    # sort it replaces (scripts/gather_probe.py).  Then cumsum once
+    # globally, take per-splat segment differences, and gather back to
+    # original row order.  Sorts/gathers/cumsums only — XLA's TPU scatter
+    # lowering measured 19 ms/frame and pathological compiles.
+    d_3d = d_feat9.reshape(9, f, max_dup)  # tile-sorted per frame
+    sorted_ops = jax.lax.sort(
+        (bins.presort_pos,) + tuple(d_3d[k] for k in range(9)),
+        num_keys=1,
+        is_stable=False,  # keys are a permutation of 0..D-1: unique
+    )
+    d_pre9 = jnp.stack(sorted_ops[1:]).reshape(9, f * max_dup)
     cs9 = jnp.cumsum(d_pre9, axis=1)
     fD = f * max_dup
     hi9 = cs9[:, jnp.clip(bins.seg_end_g - 1, 0, fD - 1)]  # (9, F*N)
