@@ -29,7 +29,7 @@ import numpy as np
 
 from gaussian_splatterer_tpu.models.camera import Camera
 from gaussian_splatterer_tpu.ops.raster_tiled import (
-    image_to_tiles,
+    image_to_tiles_cm,
     render_train_grads_batch,
 )
 
@@ -127,7 +127,7 @@ def main():
     truths = jnp.asarray(
         rng.uniform(0, 1, (FRAMES, H, W, 3)).astype(np.float32)
     )
-    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, TILE))(truths)
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
     bgs = jnp.zeros((FRAMES, 3), jnp.float32)
 
     @jax.jit

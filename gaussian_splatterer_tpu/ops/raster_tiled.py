@@ -56,6 +56,12 @@ _F_ROWS = 16  # padded to a full sublane tile
 _F_ROWS_T = 9  # train path: Mosaic allows a block dim EQUAL to the array
 # dim (no 8-divisibility pad), so feature/gradient-slab HBM traffic stays
 # at the true 9 rows instead of 16 (-44%)
+_C_ROWS = 8  # channel-major truth/residual tiles: (T, 8, P) with rgb in
+# rows 0-2 (truth) / rgb+t_final in rows 0-3 (residual).  Pixel-minor
+# (T, P, 3/4) layouts are POISON at scale: XLA materializes them tiled
+# T(8,128), padding the 3/4-wide minor dim to 128 lanes — a measured 42.7x
+# expansion (8 GB for 16 frames of 1024^2 truth tiles, HBM OOM at 16.7 G).
+# With P on lanes and 8 channel sublanes the tiled layout is exactly dense.
 
 
 # Perf-ablation switches (scripts/kernel_ablate.py): comma-separated set in
@@ -352,9 +358,9 @@ def _train_kernel(
     tstart_arr,
     tend_arr,
     feat_ref,
-    truth_ref,  # (1, P, 3) pre-tiled truth image for this tile
+    truth_ref,  # (1, 8, P) channel-major pre-tiled truth for this tile
     bg_ref,  # (F, 4) SMEM per-frame background rgb
-    res_ref,  # out (1, P, 4): [residual rgb, t_final]
+    res_ref,  # out (1, 8, P) channel-major: rows [residual rgb, t_final]
     dfeat_ref,  # out (1, 16, chunk) per-work-item gradient slab
     acc,  # (P, 8): pass1 C rgb + T + alive; pass2 gC_in + T + alive
     acc2,  # (P, 8): [residual rgb, g_t, g_ctot, t_n]
@@ -431,9 +437,15 @@ def _train_kernel(
             bg_g = bg_ref[frame, 1]
             bg_b = bg_ref[frame, 2]
             t_n = acc[:, 3:4]
-            res_r = truth_ref[0, :, 0:1] - (acc[:, 0:1] + t_n * bg_r)
-            res_g = truth_ref[0, :, 1:2] - (acc[:, 1:2] + t_n * bg_g)
-            res_b = truth_ref[0, :, 2:3] - (acc[:, 2:3] + t_n * bg_b)
+            # truth/res tiles are channel-major (8, P) — see _C_ROWS; the
+            # compositing state is pixel-major (P, c) columns, so transpose
+            # at the boundary (2 small XLU transposes per TILE, amortized
+            # over its chunks) rather than padding P-minor buffers 32-43x
+            # in HBM
+            truc = jnp.transpose(truth_ref[0])  # (P, 8)
+            res_r = truc[:, 0:1] - (acc[:, 0:1] + t_n * bg_r)
+            res_g = truc[:, 1:2] - (acc[:, 1:2] + t_n * bg_g)
+            res_b = truc[:, 2:3] - (acc[:, 2:3] + t_n * bg_b)
             acc2[:, 0:1] = res_r
             acc2[:, 1:2] = res_g
             acc2[:, 2:3] = res_b
@@ -442,7 +454,13 @@ def _train_kernel(
                 res_r * acc[:, 0:1] + res_g * acc[:, 1:2] + res_b * acc[:, 2:3]
             )  # g . C_total
             acc2[:, 5:6] = t_n
-            res_ref[0] = jnp.concatenate([res_r, res_g, res_b, t_n], axis=1)
+            res_ref[0] = jnp.transpose(
+                jnp.concatenate(
+                    [res_r, res_g, res_b, t_n,
+                     jnp.zeros((p_count, _C_ROWS - 4), jnp.float32)],
+                    axis=1,
+                )
+            )
             # re-arm acc for the replay pass
             acc[:, 0:1] = jnp.zeros((p_count, 1), jnp.float32)
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
@@ -541,7 +559,7 @@ def _worklist_flags(w2) -> jax.Array:
 
 def _composite_train_flat(
     feat9: jax.Array,  # (9, num_blocks_total * chunk)
-    truth_tiles: jax.Array,  # (T_total, P, 3) — frames flattened into tiles
+    truth_tiles: jax.Array,  # (T_total, 8, P) channel-major, frames flattened
     bg_f4: jax.Array,  # (F, 4) per-frame background
     work_tf: jax.Array,  # (W,) GLOBAL (tile id << _FL_BITS) | flags
     work_block: jax.Array,  # (W,) GLOBAL feature-block ids
@@ -556,7 +574,7 @@ def _composite_train_flat(
     interpret: bool,
 ):
     """Run the fused train kernel over a flat (possibly multi-frame) work
-    list.  Returns (res4 (T_total, P, 4), d_feat9 (9, B_total*chunk))."""
+    list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk))."""
     p_count = tile * tile
     num_tiles_total = truth_tiles.shape[0]
     w_cap = work_tf.shape[0]
@@ -572,7 +590,7 @@ def _composite_train_flat(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, p_count, 3),
+                (1, _C_ROWS, p_count),
                 lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -580,7 +598,7 @@ def _composite_train_flat(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, p_count, 4),
+                (1, _C_ROWS, p_count),
                 lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -595,10 +613,10 @@ def _composite_train_flat(
             pltpu.VMEM((p_count, 8), jnp.float32),
         ],
     )
-    res4, dfeat_slabs = pl.pallas_call(
+    res8, dfeat_slabs = pl.pallas_call(
         functools.partial(_train_kernel, **kw),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles_total, p_count, 4), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles_total, _C_ROWS, p_count), jnp.float32),
             jax.ShapeDtypeStruct((w_cap, _F_ROWS_T, chunk), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -613,12 +631,12 @@ def _composite_train_flat(
     d_feat9 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
         _F_ROWS_T, num_blocks_total * chunk
     )
-    return res4, d_feat9
+    return res8, d_feat9
 
 
 def composite_train_tiles(
     feat9: jax.Array,
-    truth_tiles: jax.Array,  # (T, P, 3)
+    truth_tiles: jax.Array,  # (T, 8, P) channel-major (image_to_tiles_cm)
     background: jax.Array,  # (3,)
     bins: TileBins,
     num_tiles: int,
@@ -632,7 +650,7 @@ def composite_train_tiles(
     per-tile signed residual AND the duplicate-feature gradients
     (g := residual).
 
-    Returns (res4 (T, P, 4) [residual rgb, t_final], d_feat9 (9, D)).
+    Returns (res8 (T, 8, P) rows [residual rgb, t_final], d_feat9 (9, D)).
     Gradients are returned as data, not via autodiff — chain them through
     the projection with jax.vjp at the call site."""
     from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
@@ -654,7 +672,7 @@ def render_train_grads_batch(
     means, shs, scales, opacities, rotations, active,
     views, proj_views, cam_posns, tan_fovxs, tan_fovys,  # (F, ...) stacks
     width: int, height: int,
-    truth_tiles,  # (F, T, P, 3) pre-tiled truths
+    truth_tiles,  # (F, T, 8, P) channel-major pre-tiled truths
     backgrounds,  # (F, 3)
     sh_degree: int,
     *,
@@ -675,7 +693,7 @@ def render_train_grads_batch(
                  reference's negative-L2 convention, src/Trainer.cu:33-44),
       var_loc  = (C,) sum over frames of per-frame |location-grad| norms
                  (the densify "variance" signal, src/Trainer.cu:52-54),
-      res4     = (F, T, P, 4) [residual rgb, t_final],
+      res8     = (F, T, 8, P) channel-major rows [residual rgb, t_final],
       num_dup  = () int32 MAX duplicates generated by any frame's binning —
                  > max_dup means the deepest splats were dropped (the
                  reference radix-sorts the exact count and cannot truncate,
@@ -756,8 +774,8 @@ def render_train_grads_batch(
     bg4 = jnp.zeros((f, 4), jnp.float32).at[:, :3].set(
         jnp.asarray(backgrounds, jnp.float32)
     )
-    truth_flat = truth_tiles.reshape(f * num_tiles, p_count, 3)
-    res4, d_feat9 = _composite_train_flat(
+    truth_flat = truth_tiles.reshape(f * num_tiles, _C_ROWS, p_count)
+    res8, d_feat9 = _composite_train_flat(
         feat9, truth_flat, bg4, wtf_g, wb_g, seg_g,
         bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
@@ -796,14 +814,14 @@ def render_train_grads_batch(
     var_loc = jnp.sum(
         jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0
     )
-    res4_frames = res4.reshape(f, num_tiles, p_count, 4)
+    res8_frames = res8.reshape(f, num_tiles, _C_ROWS, p_count)
     loss_sum = jnp.sum(
-        jnp.mean(jnp.square(res4_frames[..., 0:3]), axis=(1, 2, 3))
+        jnp.mean(jnp.square(res8_frames[:, :, 0:3, :]), axis=(1, 2, 3))
     )
     num_dup = jnp.max(bins.num_dup)
     return (
         loss_sum, (g_means, d_shs, d_scales, d_opac, d_rot), var_loc,
-        res4_frames, num_dup,
+        res8_frames, num_dup,
     )
 
 
@@ -818,7 +836,7 @@ def render_train_grads(
     interpret: bool | None = None,
 ):
     """Fused training step core for ONE frame: returns
-    (loss_mean, grads tuple, residual_tiles).
+    (loss_mean, grads tuple, residual_tiles (T, 8, P) channel-major).
 
     grads follow the reference convention (J^T residual — the *negative*
     L2 gradient, applied with += by the SGD step, src/Trainer.cu:81-101).
@@ -962,6 +980,43 @@ def image_to_tiles(img: jax.Array, tile: int) -> jax.Array:
         .transpose(0, 2, 1, 3, 4)
         .reshape(ty * txx, tile * tile, c)
     )
+
+
+def image_to_tiles_cm(img: jax.Array, tile: int) -> jax.Array:
+    """(H, W, 3) -> (T, 8, tile*tile) CHANNEL-MAJOR truth tiles: rgb in
+    rows 0-2, rows 3-7 zero (see _C_ROWS).
+
+    The train path stores truths and residuals channel-major so the pixel
+    axis lands on the 128-lane dim — (T, P, 3) puts 3 channels on lanes and
+    XLA's tiled HBM layouts pad that to 128 (42.7x memory, OOM at 16
+    frames of 1024^2)."""
+    h, w, c = img.shape
+    ty, txx = h // tile, w // tile
+    pm = (
+        img.reshape(ty, tile, txx, tile, c)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(ty * txx, c, tile * tile)
+    )
+    return jnp.concatenate(
+        [pm, jnp.zeros((ty * txx, _C_ROWS - c, tile * tile), pm.dtype)], axis=1
+    )
+
+
+def tiles_cm_to_image(
+    tiles_cm: jax.Array, width: int, height: int, tile: int, rows: int = 3
+) -> jax.Array:
+    """(T, 8, tile*tile) channel-major -> (H, W, rows) (inverse of
+    image_to_tiles_cm, cropping tile padding; rows=4 recovers t_final
+    from residual tiles)."""
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    img = (
+        tiles_cm[:, :rows, :]
+        .reshape(ty_tiles, tx_tiles, rows, tile, tile)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(ty_tiles * tile, tx_tiles * tile, rows)
+    )
+    return img[:height, :width, :]
 
 
 def tiles_to_image(img_tiles: jax.Array, width: int, height: int, tile: int) -> jax.Array:

@@ -76,7 +76,8 @@ def make_local_accumulate(
     ``fused=None`` auto-selects the fused frame-batched Pallas kernel
     whenever the tiled renderer with default render_fn is in play and the
     resolution is tile-aligned — the same fast path as the single-chip
-    Trainer.  The fused path consumes PRE-TILED truths (F, T, P, 3)."""
+    Trainer.  The fused path consumes PRE-TILED channel-major truths
+    (F, T, 8, P) built with ops.raster_tiled.image_to_tiles_cm."""
     tile = runtime.tile_px if runtime is not None else 32
     if fused is None:
         fused = (
@@ -194,8 +195,9 @@ def make_dp_train_step(
     truths: (2F, ...) with 2F divisible by the mesh size; white-background
     frames first, then black (src/Trainer.cu:311-314).  Model and learning
     rates are replicated; only the frame axis is sharded.  On the fused
-    fast path (default for the tiled renderer) truths must be PRE-TILED to
-    (2F, T, tile*tile, 3) with ops.raster_tiled.image_to_tiles; pass
+    fast path (default for the tiled renderer) truths must be PRE-TILED
+    channel-major to (2F, T, 8, tile*tile) with
+    ops.raster_tiled.image_to_tiles_cm; pass
     ``fused=False`` to train on (2F, H, W, 3) images with a custom
     render_fn.  ``runtime`` threads tile_px / max_dup / etc. into the
     renderer (RuntimeConfig defaults otherwise)."""

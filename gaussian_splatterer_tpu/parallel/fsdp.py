@@ -88,8 +88,9 @@ def make_fsdp_train_step(
 
     truths: (2F, ...) with 2F divisible by the total device count; model
     arrays sharded on their capacity axis (see shard_model).  On the fused
-    fast path (default for the tiled renderer) truths must be PRE-TILED to
-    (2F, T, tile*tile, 3).  ``sh_degree`` must match the model's static
+    fast path (default for the tiled renderer) truths must be PRE-TILED
+    channel-major to (2F, T, 8, tile*tile) with
+    ops.raster_tiled.image_to_tiles_cm.  ``sh_degree`` must match the model's static
     sh_degree field (it shapes the pytree the shard_map specs bind to)."""
     local_accumulate, fused = make_local_accumulate(
         width, height, sh_degree, renderer, render_fn, row_chunk,

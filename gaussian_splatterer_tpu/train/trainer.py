@@ -141,9 +141,9 @@ def make_train_step(
 
     truths: (2F, H, W, 3) float32 — F white-background frames then F
     black-background frames, same camera order (src/Trainer.cu:311-314).
-    When ``render_fn`` produces tile-space images (render_tiled_tiles),
-    truths must be pre-tiled to (2F, T, P, 3) with image_to_tiles — the
-    residual/loss math is shape-agnostic.
+    When ``fused=True``, truths must be pre-tiled CHANNEL-MAJOR to
+    (2F, T, 8, P) with image_to_tiles_cm (pixel-minor tile layouts pad
+    43x in TPU HBM — see ops.raster_tiled._C_ROWS).
 
     ``fused=True`` uses the frame-BATCHED single-pass Pallas train kernel
     (ops.raster_tiled.render_train_grads_batch): binning + forward +
@@ -392,9 +392,11 @@ class Trainer:
         blacks = [shoot(c, (0.0, 0.0, 0.0)) for c in cameras]
         truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
         if self._tile_space:
-            from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles
+            from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles_cm
 
-            truths = jax.vmap(lambda im: image_to_tiles(im, self._tile_space))(truths)
+            truths = jax.vmap(
+                lambda im: image_to_tiles_cm(im, self._tile_space)
+            )(truths)
         self.truths = truths
         self.truth_cams = CameraBatch.from_cameras(cameras, w, h, train=True)
 

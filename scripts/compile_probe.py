@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_splatterer_tpu.ops.raster_tiled import (
-    image_to_tiles,
+    image_to_tiles_cm,
     render_train_grads_batch,
 )
 
@@ -65,7 +65,7 @@ def run_stage(name):
     poss = jnp.stack([jnp.asarray(c.location) for c in cams])
     tans = np.array([c.tan_fov(res, res, train=True) for c in cams], np.float32)
     truths = jnp.asarray(rng.uniform(0, 1, (f, res, res, 3)).astype(np.float32))
-    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, tile))(truths)
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, tile))(truths)
     bgs = jnp.zeros((f, 3), jnp.float32)
     params = tuple(map(jnp.asarray, (means, shs, scales, opac, rot)))
 

@@ -121,9 +121,9 @@ def main():
     f = len(cameras)
     rng = np.random.default_rng(1)
     truths_img = rng.uniform(0, 1, (2 * f, args.res, args.res, 3)).astype(np.float32)
-    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles
+    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles_cm
 
-    truths = jax.vmap(lambda im: image_to_tiles(im, args.tile))(
+    truths = jax.vmap(lambda im: image_to_tiles_cm(im, args.tile))(
         jnp.asarray(truths_img)
     )
     trainer.truths = truths

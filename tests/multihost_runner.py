@@ -61,15 +61,20 @@ def build_scene_np(seed=0, sh_degree=1):
 
 
 def tile_truths_np(truths):
+    """Channel-major (f, T, 8, P) truth tiles (image_to_tiles_cm in numpy
+    — this runner avoids jax before distributed init)."""
     import numpy as np
 
     f, h, w, c = truths.shape
     ty, tx = h // TILE, w // TILE
-    return (
+    pm = (
         truths.reshape(f, ty, TILE, tx, TILE, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(f, ty * tx, TILE * TILE, c)
+        .transpose(0, 1, 3, 5, 2, 4)
+        .reshape(f, ty * tx, c, TILE * TILE)
     )
+    out = np.zeros((f, ty * tx, 8, TILE * TILE), pm.dtype)
+    out[:, :, :c] = pm
+    return out
 
 
 def main():

@@ -46,9 +46,10 @@ def test_session_end_to_end(obj_path, tmp_path):
     s.load_model_obj(obj_path)
     s.init_field("mono")
     s.capture()
-    # tile-space fast path stores truths as (2F, T, P, 3)
+    # tile-space fast path stores truths channel-major as (2F, T, 8, P)
     assert s.trainer.truths.shape[0] == 4
-    assert int(np.prod(s.trainer.truths.shape[1:])) == 32 * 32 * 3
+    assert s.trainer.truths.shape[2] == 8
+    assert int(np.prod(s.trainer.truths.shape[1:])) == 32 * 32 * 8
     m0 = s.train(1)
     loss0 = float(m0.loss)
     m1 = s.train(5)

@@ -111,7 +111,7 @@ def test_fsdp_2d_matches_single_device():
 def build_scene_fused(n_splats=24, cap=64, n_cams=4, seed=0, sh_degree=1,
                       res=64, tile=16):
     """Scene with PRE-TILED truths for the fused fast path."""
-    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles
+    from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles_cm
 
     sh_coeffs = (sh_degree + 1) ** 2
     rng = np.random.default_rng(seed)
@@ -130,7 +130,7 @@ def build_scene_fused(n_splats=24, cap=64, n_cams=4, seed=0, sh_degree=1,
     truths = jnp.asarray(
         rng.uniform(0, 1, (2 * n_cams, res, res, 3)).astype(np.float32)
     )
-    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, tile))(truths)
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, tile))(truths)
     return model, cams, truth_tiles
 
 

@@ -200,6 +200,7 @@ def test_fused_train_grads_match_vjp_path():
     renderer with the signed-residual cotangent (the training semantics)."""
     from gaussian_splatterer_tpu.ops.raster_tiled import (
         image_to_tiles,
+        image_to_tiles_cm,
         render_tiled_tiles,
         render_train_grads,
     )
@@ -224,14 +225,17 @@ def test_fused_train_grads_match_vjp_path():
     g_ref = pull(residual)[0]
     loss_ref = jnp.mean(jnp.square(residual))
 
-    loss_f, g_fused, res4 = render_train_grads(
-        *params, active, view, pv, pos, tx, ty, W, H, truth_tiles, bg, 1,
+    loss_f, g_fused, res8 = render_train_grads(
+        *params, active, view, pv, pos, tx, ty, W, H,
+        image_to_tiles_cm(truth, TILE), bg, 1,
         tile=TILE, max_dup=2**12, interpret=True,
     )
 
     np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(res4[..., 0:3]), np.asarray(residual), atol=1e-5
+        np.asarray(res8[:, 0:3, :]),
+        np.asarray(residual).transpose(0, 2, 1),
+        atol=1e-5,
     )
     names = ["means", "shs", "scales", "opacities", "rotations"]
     for name, a, b in zip(names, g_fused, g_ref):
@@ -247,7 +251,7 @@ def test_batched_train_grads_match_per_frame():
     same losses, same gradient sums, same per-frame residuals and
     per-frame location-gradient norms (densify variance signal)."""
     from gaussian_splatterer_tpu.ops.raster_tiled import (
-        image_to_tiles,
+        image_to_tiles_cm,
         render_train_grads,
         render_train_grads_batch,
     )
@@ -270,7 +274,7 @@ def test_batched_train_grads_match_per_frame():
     txs, tys = jnp.asarray(tans[:, 0]), jnp.asarray(tans[:, 1])
     bgs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
     truths = jnp.asarray(rng.uniform(0, 1, (3, H, W, 3)).astype(np.float32))
-    truth_tiles = jax.vmap(lambda im: image_to_tiles(im, TILE))(truths)
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
 
     loss_b, g_b, var_b, res_b, num_dup = render_train_grads_batch(
         *params, active, views, pvs, poss, txs, tys, W, H,
@@ -310,3 +314,96 @@ def test_batched_train_grads_match_per_frame():
             np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-5,
             err_msg=f"batched gradient mismatch: {name}",
         )
+
+
+def test_fused_train_grads_mid_scale():
+    """Mid-scale parity (5k splats, 256^2, tile 32): every tile covers
+    multiple 128-splat chunks and most feature blocks are shared across
+    tile boundaries, exercising work-list construction, slab segment-sum
+    and the packed-cummax binning (binning.py) at depths the 64^2 toy
+    cases never reach.  VERDICT r1 'weak #7'."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles,
+        image_to_tiles_cm,
+        render_tiled_tiles,
+        render_train_grads,
+    )
+
+    w = h = 256
+    tile = 32
+    n = 5000
+    params_all = random_splats(n, seed=17, cap=n + 120)  # padded capacity
+    params, active = params_all[:5], params_all[5]
+    cam = Camera(
+        np.array([0.4, -0.3, -7.0], np.float32), np.zeros(3, np.float32), 60.0
+    )
+    view = jnp.asarray(cam.get_view())
+    pv = jnp.asarray(cam.get_proj_view(w / h))
+    tx, ty = cam.tan_fov(w, h, train=True)
+    pos = jnp.asarray(cam.location)
+    bg = jnp.asarray([0.2, 0.4, 0.1], jnp.float32)
+    truth = jnp.asarray(
+        np.random.default_rng(8).uniform(0, 1, (h, w, 3)).astype(np.float32)
+    )
+    truth_tiles = image_to_tiles(truth, tile)
+    max_dup = 2**15
+
+    def render_fn(p):
+        return render_tiled_tiles(
+            *p, active, view, pv, pos, tx, ty, w, h, bg, 1, 1.0,
+            tile=tile, max_dup=max_dup, interpret=True,
+        )
+
+    img_tiles, pull = jax.vjp(render_fn, params)
+    residual = truth_tiles - img_tiles
+    g_ref = pull(residual)[0]
+    loss_ref = jnp.mean(jnp.square(residual))
+
+    loss_f, g_fused, res8 = render_train_grads(
+        *params, active, view, pv, pos, tx, ty, w, h,
+        image_to_tiles_cm(truth, tile), bg, 1,
+        tile=tile, max_dup=max_dup, interpret=True,
+    )
+
+    # sanity: the scene must actually be deep enough to multi-chunk
+    from gaussian_splatterer_tpu.ops.binning import bin_splats
+    from gaussian_splatterer_tpu.ops.transforms import project_splat_components
+
+    proj = project_splat_components(
+        *params, active, view, pv, pos, tx, ty, w, h, 1, 1.0
+    )
+    bins = bin_splats(proj, w, h, tile, max_dup, 128)
+    per_tile = np.asarray(bins.tile_end - bins.tile_start)
+    assert int(per_tile.max()) > 256, "scene too shallow for a mid-scale case"
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-5)
+    # 2e-3 abs on residuals: at ~500-deep tiles a handful of pixels sit on
+    # the T_EPS early-termination knife edge, where one-ulp cumsum rounding
+    # differences flip the last kept splat between the two paths
+    np.testing.assert_allclose(
+        np.asarray(res8[:, 0:3, :]),
+        np.asarray(residual).transpose(0, 2, 1),
+        atol=2e-3,
+    )
+    names = ["means", "shs", "scales", "opacities", "rotations"]
+    for name, a, b in zip(names, g_fused, g_ref):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+            err_msg=f"mid-scale fused gradient mismatch: {name}",
+        )
+
+
+def test_tile_cm_roundtrip():
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        tiles_cm_to_image,
+    )
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)).astype(np.float32))
+    tiles = image_to_tiles_cm(img, 16)
+    assert tiles.shape == (4 * 6, 8, 256)
+    assert float(jnp.abs(tiles[:, 3:, :]).max()) == 0.0
+    back = tiles_cm_to_image(tiles, 96, 64, 16)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
