@@ -135,6 +135,7 @@ def main():
         loss, grads, var, _, nd = render_train_grads_batch(
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
             tile=TILE, max_dup=MAX_DUP,
+            mm_bf16=True,  # production trainer default (train_mm_bf16)
         )
         return loss, grads, nd
 

@@ -160,6 +160,12 @@ class RuntimeConfig:
     max_dup: int = 2**21  # max splat-tile duplicate pairs per frame (binning capacity)
     rt_bounces: int = 50  # path-tracer bounce cap (reference src/rtx/RtxDevice.cu:23)
     frame_group: int = 8  # frames per fused-kernel launch (bounds transient HBM)
+    # Train-kernel transmittance/gradient prefix sums on the MXU in
+    # single-pass bfloat16 with f32 accumulation (f32 matmuls are 3-6
+    # chained bf16 passes on TPU).  Error is one bf16 input rounding
+    # (~0.2% relative) — invisible under the MC truth noise; the serve/
+    # parity render paths always stay f32.  Set False for bit-parity runs.
+    train_mm_bf16: bool = True
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

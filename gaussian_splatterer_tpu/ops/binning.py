@@ -186,18 +186,20 @@ def bin_splats_batch(
         [
             comps.mx.reshape(-1),
             comps.my.reshape(-1),
-            comps.radius.reshape(-1),
+            comps.rx.reshape(-1),
+            comps.ry.reshape(-1),
             comps.valid.reshape(-1).astype(jnp.float32),
         ]
-    )  # (4, F*N)
-    g4 = tab[:, order_g]
-    mx = g4[0].reshape(f, n)
-    my = g4[1].reshape(f, n)
-    rad = g4[2].reshape(f, n)
-    vld = g4[3].reshape(f, n) > 0.5
+    )  # (5, F*N)
+    g5 = tab[:, order_g]
+    mx = g5[0].reshape(f, n)
+    my = g5[1].reshape(f, n)
+    rxs = g5[2].reshape(f, n)
+    rys = g5[3].reshape(f, n)
+    vld = g5[4].reshape(f, n) > 0.5
 
     # 3. covered-tile counts + per-frame prefix offsets
-    x0, y0, x1, y1 = tile_aabb(mx, my, rad, tile, tx_tiles, ty_tiles)
+    x0, y0, x1, y1 = tile_aabb(mx, my, rxs, rys, tile, tx_tiles, ty_tiles)
     spans_x = jnp.maximum(x1 - x0, 0)
     ntiles = jnp.where(vld, spans_x * jnp.maximum(y1 - y0, 0), 0)
     offs = jnp.cumsum(ntiles, axis=-1)  # (F, N) int32 per frame
@@ -258,12 +260,18 @@ def bin_splats_batch(
         [offs_excl + 1] + [carrier | wv for wv in word_exprs]
     )  # (W, F, N); word 0 = offs_excl + 1 (its own monotone carrier)
     n_words = seeds.shape[0]
-    filled = jax.lax.cummax(
+    seeded = (
         jnp.zeros((n_words, fD), i32)
         .at[:, starts_g]
         .max(seeds.reshape(n_words, fN), mode="drop")
-        .reshape(n_words, f, max_dup),
-        axis=2,
+    )
+    # barrier: XLA fuses this scatter INTO the cummax as one kCustom fusion
+    # that ran 41 ms/step at 8 frames of 1024^2 (trace fusion.374), while
+    # the isolated scatter and batched cummax are each sub-ms
+    # (scripts/scatter_probe.py) — keep them separate ops
+    seeded = jax.lax.optimization_barrier(seeded)
+    filled = jax.lax.cummax(
+        seeded.reshape(n_words, f, max_dup), axis=2
     ).reshape(n_words, fD)
     oe = filled[0] - 1  # -1 before the first seed: gated by dup_valid
 
@@ -351,18 +359,21 @@ def bin_splats_batch(
     )
 
 
-def tile_aabb(mx, my, radius, tile: int, tx_tiles: int, ty_tiles: int):
+def tile_aabb(mx, my, rx, ry, tile: int, tx_tiles: int, ty_tiles: int):
     """Per-splat covered tile rectangle [x0, x1) x [y0, y1), INRIA getRect
-    semantics (floor((p - r)/tile) .. floor((p + r + tile - 1)/tile), clipped).
+    semantics (floor((p - r)/tile) .. floor((p + r + tile - 1)/tile),
+    clipped) over per-axis half-extents (rx, ry) — the tight
+    opacity-aware ellipse AABB from project_splat_components (pass the
+    same value for both to reproduce the reference's circular box).
 
     All args/results are flat (N,) vectors."""
     ftile = jnp.float32(tile)
-    x0 = jnp.clip(jnp.floor((mx - radius) / ftile), 0, tx_tiles).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - radius) / ftile), 0, ty_tiles).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + radius + ftile - 1.0) / ftile), 0, tx_tiles).astype(
+    x0 = jnp.clip(jnp.floor((mx - rx) / ftile), 0, tx_tiles).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - ry) / ftile), 0, ty_tiles).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + rx + ftile - 1.0) / ftile), 0, tx_tiles).astype(
         jnp.int32
     )
-    y1 = jnp.clip(jnp.floor((my + radius + ftile - 1.0) / ftile), 0, ty_tiles).astype(
+    y1 = jnp.clip(jnp.floor((my + ry + ftile - 1.0) / ftile), 0, ty_tiles).astype(
         jnp.int32
     )
     return x0, y0, x1, y1
@@ -387,11 +398,12 @@ def bin_splats(
     order = jnp.argsort(jnp.where(comps.valid, comps.depth, jnp.inf)).astype(i32)
     mx = comps.mx[order]
     my = comps.my[order]
-    rad = comps.radius[order]
+    rxs = comps.rx[order]
+    rys = comps.ry[order]
     vld = comps.valid[order]
 
     # 2. duplicate enumeration in depth order
-    x0, y0, x1, y1 = tile_aabb(mx, my, rad, tile, tx_tiles, ty_tiles)
+    x0, y0, x1, y1 = tile_aabb(mx, my, rxs, rys, tile, tx_tiles, ty_tiles)
     spans_x = jnp.maximum(x1 - x0, 0)
     ntiles = jnp.where(vld, spans_x * jnp.maximum(y1 - y0, 0), 0)
     offs = jnp.cumsum(ntiles)  # inclusive, int32

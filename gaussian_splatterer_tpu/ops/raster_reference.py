@@ -62,7 +62,8 @@ def composite_pixels(
         x0, y0, x1, y1 = tile_aabb(
             jax.lax.stop_gradient(splats.mean2d[:, 0]),
             jax.lax.stop_gradient(splats.mean2d[:, 1]),
-            jax.lax.stop_gradient(splats.radius),
+            jax.lax.stop_gradient(splats.rx),
+            jax.lax.stop_gradient(splats.ry),
             tile_cull, big, big,
         )
         ptx = (pix_xy[:, 0:1] // tile_cull).astype(jnp.int32)  # (P, 1)

@@ -94,15 +94,27 @@ def _upper_tri(chunk: int) -> jax.Array:
     return (r <= c).astype(jnp.float32)
 
 
-def _cumsum_lanes(x: jax.Array) -> jax.Array:
+def _cumsum_lanes(x: jax.Array, bf16: bool = False) -> jax.Array:
     """Inclusive cumulative sum along the last (lane) axis as a triangular
     matmul.  Measured FASTER than a pltpu.roll log-shift ladder for the f32
     transmittance sums: the MXU matmul overlaps with the kernel's VPU work
     while lane-rotates contend for the vector unit.  (jnp.cumsum does not
-    lower in Pallas TPU.)"""
+    lower in Pallas TPU.)
+
+    bf16=True runs the matmul in single-pass bfloat16 with f32 MXU
+    accumulation (f32 matmuls are 3-6 chained bf16 passes on TPU).  With a
+    0/1 triangular matrix the products are exact, so the only error is the
+    one-time bf16 rounding of each INPUT element: |err| <= 2^-9 relative
+    per summand (~0.2%) — far below the MC noise of the truth images the
+    train path consumes, and never used on serve/parity paths."""
     if "cumsum" in _ABLATE:
         return x
-    return jnp.dot(x, _upper_tri(x.shape[-1]), preferred_element_type=jnp.float32)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    return jnp.dot(
+        x.astype(dt),
+        _upper_tri(x.shape[-1]).astype(dt),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk: int):
@@ -138,7 +150,67 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
     return a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc)
 
 
-def _composite_chunk(a, t_in, alive):
+def _mm_t(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
+    """(K, P) x (P, C) -> (K, C) via dot_general contracting the SHARED
+    leading P axis of a (P, K) lhs — the MXU takes the transpose as a
+    dimension-numbers flag, so no XLU relayout of the (P, K) column data."""
+    return jax.lax.dot_general(
+        lhs, rhs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _grad_rows_moments(
+    weight, d_alpha, alpha_raw, op, mx, my, ca, cb, cc,
+    g_r, g_g, g_b, t, tile: int, tx_tiles: int,
+):
+    """The nine per-splat gradient rows of one chunk as TWO small MXU
+    matmuls instead of ~20 full (P, C) VPU passes.
+
+    Every geometry gradient is a pixel sum of d_power times a quadratic in
+    (dx, dy), and dx = px - mx is SEPARABLE, so all five collapse into six
+    moments  S = B @ d_power  with B the (6, P) basis [1, x, x^2, y, y^2,
+    xy] in TILE-LOCAL coordinates (local x keeps |x| < tile — in global
+    pixel coordinates the mx-shift subtractions below would cancel
+    catastrophically).  Colors are likewise one (3, P) x (P, C) matmul.
+    Moment matmuls stay f32: their cost is ~6/128 of one compositing
+    cumsum, and bf16 rounding would amplify through the shift subtractions
+    by the (tile / splat extent)^2 condition number."""
+    f32 = jnp.float32
+    p_count = tile * tile
+    d_power = d_alpha * alpha_raw
+    pi = jax.lax.broadcasted_iota(jnp.int32, (1, p_count), 1)
+    lx = (pi % tile).astype(f32)
+    ly = (pi // tile).astype(f32)
+    basis = jnp.concatenate(
+        [jnp.ones((1, p_count), f32), lx, lx * lx, ly, ly * ly, lx * ly],
+        axis=0,
+    )  # (6, P)
+    s = jnp.dot(basis, d_power, preferred_element_type=f32)  # (6, C)
+    s0, sx, sxx, sy, syy, sxy = (s[k : k + 1, :] for k in range(6))
+
+    ox = ((t % tx_tiles) * tile).astype(f32)
+    oy = ((t // tx_tiles) * tile).astype(f32)
+    mxl = mx - ox  # (1, C) tile-local splat centers
+    myl = my - oy
+    dx_m = sx - mxl * s0
+    dy_m = sy - myl * s0
+    d_ca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+    d_cc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+    d_cb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+    d_mx = ca * dx_m + cb * dy_m
+    d_my = cc * dy_m + cb * dx_m
+    # sum d_alpha*expp == sum(d_power)/op exactly (op is constant per lane)
+    d_op = s0 * jnp.where(op > 1e-20, 1.0 / jnp.maximum(op, 1e-20), 0.0)
+
+    g3 = jnp.concatenate([g_r, g_g, g_b], axis=1)  # (P, 3) columns
+    d_c3 = _mm_t(g3, weight)  # (3, C): [d_cr; d_cg; d_cb2]
+    return jnp.concatenate(
+        [d_mx, d_my, d_ca, d_cb, d_cc, d_c3, d_op], axis=0
+    )  # (9, C)
+
+
+def _composite_chunk(a, t_in, alive, bf16: bool = False):
     """Front-to-back compositing of one chunk given entry transmittance.
 
     Returns (weight, t_k, a_eff, keep, t_out, alive_out):
@@ -154,7 +226,7 @@ def _composite_chunk(a, t_in, alive):
     prefix too, and the effective carry-out T is the raw T at the last
     kept splat — a cheap lane-min instead of a second log-cumsum."""
     logs = _log1p_neg(a)
-    cum_excl = _cumsum_lanes(logs) - logs
+    cum_excl = _cumsum_lanes(logs, bf16) - logs
     t_excl = t_in * _exp_v(cum_excl)
     # t_incl = t_in * exp(cum_incl) algebraically; one exp + one multiply —
     # exp is the kernel's hottest VPU op, one (P, C) exp saved per item
@@ -208,12 +280,15 @@ def _fwd_kernel(
         alive = acc[:, 4:5]
         weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
 
-        cr = feat_ref[_F_CR : _F_CR + 1, :]
-        cg = feat_ref[_F_CG : _F_CG + 1, :]
-        cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
-        acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
-        acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
-        acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+        c3 = jnp.concatenate(
+            [feat_ref[_F_CR : _F_CR + 1, :],
+             feat_ref[_F_CG : _F_CG + 1, :],
+             feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+        )
+        acc[:, 0:3] += jax.lax.dot_general(
+            weight, c3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         acc[:, 3:4] = t_out
         acc[:, 4:5] = alive_out
 
@@ -303,11 +378,6 @@ def _bwd_body(
     c_tot_b = fwd_ref[0, :, 2:3]
     t_n = fwd_ref[0, :, 3:4]
 
-    # color gradient: dL/dc = g * weight, summed over pixels
-    d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
-    d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
-    d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
-
     # S_k = C_total - C_{<=k}; the pixel gradient g is constant per pixel,
     # so sum_ch g_ch S_k,ch collapses the three per-channel cumulative sums
     # into ONE cumsum of g.(weight*c) — the bwd kernel is MXU-bound on
@@ -322,13 +392,16 @@ def _bwd_body(
     grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
     d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
 
-    d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
-    d_power = d_alpha * alpha_raw
-    d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-    d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-    d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-    d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-    d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+    rows9 = _grad_rows_moments(
+        weight, d_alpha, alpha_raw,
+        feat_ref[_F_OP : _F_OP + 1, :],
+        feat_ref[_F_MX : _F_MX + 1, :],
+        feat_ref[_F_MY : _F_MY + 1, :],
+        ca, cb, cc, g_r, g_g, g_b, t, tile, tx_tiles,
+    )
+    (d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op) = (
+        rows9[k : k + 1, :] for k in range(9)
+    )
 
     zero_rows = jnp.zeros((_F_ROWS - 9, chunk), jnp.float32)
     dfeat_ref[0] = jnp.concatenate(
@@ -369,6 +442,7 @@ def _train_kernel(
     tx_tiles: int,
     chunk: int,
     tiles_frame: int,
+    mm_bf16: bool = False,
 ):
     """Fused per-tile forward + residual + backward replay (training path).
 
@@ -392,9 +466,9 @@ def _train_kernel(
     blk = work_block[w]
     p_count = tile * tile
 
-    @pl.when(fl & _FL_PAD != 0)
-    def _():
-        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
+    # NOTE: pad and pass-1 items do NOT write their gradient slab — their
+    # slab_segment routes to the dump segment, which the segment_sum drops,
+    # so whatever the revolving out buffer holds is discarded unread.
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2)) == 0)
     def _():
@@ -403,8 +477,6 @@ def _train_kernel(
             acc[:, :] = jnp.zeros((p_count, 8), jnp.float32)
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
-
-        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
 
         # Early-termination skip: once every pixel in the tile has hit the
         # INRIA T < eps cutoff (alive == 0 for all), later chunks cannot
@@ -420,14 +492,19 @@ def _train_kernel(
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
             weight, _, _, _, t_out, alive_out = _composite_chunk(
-                a, t_in, alive
+                a, t_in, alive, mm_bf16
             )
-            cr = feat_ref[_F_CR : _F_CR + 1, :]
-            cg = feat_ref[_F_CG : _F_CG + 1, :]
-            cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
-            acc[:, 0:1] += jnp.sum(weight * cr, axis=1, keepdims=True)
-            acc[:, 1:2] += jnp.sum(weight * cg, axis=1, keepdims=True)
-            acc[:, 2:3] += jnp.sum(weight * cb2, axis=1, keepdims=True)
+            c3 = jnp.concatenate(
+                [feat_ref[_F_CR : _F_CR + 1, :],
+                 feat_ref[_F_CG : _F_CG + 1, :],
+                 feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+            )  # (3, C)
+            # per-pixel color accumulation as ONE (P,C)x(C,3) MXU matmul
+            # (contract the shared C axis) instead of three lane-reduces
+            acc[:, 0:3] += jax.lax.dot_general(
+                weight, c3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             acc[:, 3:4] = t_out
             acc[:, 4:5] = alive_out
 
@@ -482,7 +559,7 @@ def _train_kernel(
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
             weight, t_k, a_eff, keep, t_out, alive_out = _composite_chunk(
-                a, t_in, alive
+                a, t_in, alive, mm_bf16
             )
 
             cr = feat_ref[_F_CR : _F_CR + 1, :]
@@ -495,12 +572,8 @@ def _train_kernel(
             g_ctot = acc2[:, 4:5]
             t_n = acc2[:, 5:6]
 
-            d_cr = jnp.sum(g_r * weight, axis=0, keepdims=True)
-            d_cg = jnp.sum(g_g * weight, axis=0, keepdims=True)
-            d_cb2 = jnp.sum(g_b * weight, axis=0, keepdims=True)
-
             gc = g_r * cr + g_g * cg + g_b * cb2
-            cum_gwc = _cumsum_lanes(weight * gc)
+            cum_gwc = _cumsum_lanes(weight * gc, mm_bf16)
             g_s = g_ctot - (acc[:, 0:1] + cum_gwc)
 
             inv1ma = 1.0 / (1.0 - a_eff)
@@ -508,17 +581,12 @@ def _train_kernel(
             grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
             d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
 
-            d_op = jnp.sum(d_alpha * expp, axis=0, keepdims=True)
-            d_power = d_alpha * alpha_raw
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
-
-            dfeat_ref[0] = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op],
-                axis=0,
+            dfeat_ref[0] = _grad_rows_moments(
+                weight, d_alpha, alpha_raw,
+                feat_ref[_F_OP : _F_OP + 1, :],
+                feat_ref[_F_MX : _F_MX + 1, :],
+                feat_ref[_F_MY : _F_MY + 1, :],
+                ca, cb, cc, g_r, g_g, g_b, t_img, tile, tx_tiles,
             )
 
             acc[:, 0:1] += cum_gwc[:, -1:]
@@ -572,13 +640,17 @@ def _composite_train_flat(
     chunk: int,
     tiles_frame: int,
     interpret: bool,
+    mm_bf16: bool = False,
 ):
     """Run the fused train kernel over a flat (possibly multi-frame) work
     list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk))."""
     p_count = tile * tile
     num_tiles_total = truth_tiles.shape[0]
     w_cap = work_tf.shape[0]
-    kw = dict(tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame)
+    kw = dict(
+        tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame,
+        mm_bf16=mm_bf16,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -645,6 +717,7 @@ def composite_train_tiles(
     chunk: int,
     max_dup: int,
     interpret: bool,
+    mm_bf16: bool = False,
 ):
     """Fused training composite for ONE frame: one kernel pass produces the
     per-tile signed residual AND the duplicate-feature gradients
@@ -665,6 +738,7 @@ def composite_train_tiles(
         wtf, w2.work_block, w2.slab_segment,
         bins.tile_start, bins.tile_end,
         max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
+        mm_bf16,
     )
 
 
@@ -680,6 +754,7 @@ def render_train_grads_batch(
     chunk: int = 128,
     max_dup: int = 2**18,
     interpret: bool | None = None,
+    mm_bf16: bool = False,
 ):
     """Frame-BATCHED fused training core: bin all F frames with one vmapped
     (batched-sort) pass and composite them in ONE Pallas launch over a
@@ -779,6 +854,7 @@ def render_train_grads_batch(
         feat9, truth_flat, bg4, wtf_g, wb_g, seg_g,
         bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
+        mm_bf16,
     )
     # ---- duplicate-gradient reduction, scatter-free -------------------
     # d_feat16 is per TILE-SORTED duplicate; carry it back to depth/presort
@@ -798,15 +874,19 @@ def render_train_grads_batch(
     d_pre9 = jnp.stack(sorted_ops[1:]).reshape(9, f * max_dup)
     cs9 = jnp.cumsum(d_pre9, axis=1)
     fD = f * max_dup
-    hi9 = cs9[:, jnp.clip(bins.seg_end_g - 1, 0, fD - 1)]  # (9, F*N)
     lo9 = jnp.where(
         (bins.seg_start_g > 0)[None, :],
         cs9[:, jnp.clip(bins.seg_start_g - 1, 0, fD - 1)],
         0.0,
     )
-    seg9 = jnp.where(
-        (bins.seg_end_g > bins.seg_start_g)[None, :], hi9 - lo9, 0.0
-    )  # (9, F*N) per global depth slot
+    # Depth-order segments tile the dup axis CONTIGUOUSLY (offs_excl[k+1]
+    # == offs[k]; overflow-gated and empty segments collapse to equal
+    # boundaries, and the cumsum is constant over each frame's tail slack
+    # because out-of-range dup columns contribute exactly zero), so
+    # hi9[k] == lo9[k+1] — a lane shift replaces the second 512k-column
+    # gather (measured 24 ms/step at 16 frames).
+    hi9 = jnp.concatenate([lo9[:, 1:], cs9[:, fD - 1 : fD]], axis=1)
+    seg9 = hi9 - lo9  # (9, F*N) per global depth slot
     d_rows9 = seg9[:, bins.inv_depth_flat]  # per original row id
     d_rows = jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)
     d_means_b, d_shs, d_scales, d_opac, d_rot = pull_rows(d_rows)
@@ -834,6 +914,7 @@ def render_train_grads(
     chunk: int = 128,
     max_dup: int = 2**18,
     interpret: bool | None = None,
+    mm_bf16: bool = False,
 ):
     """Fused training step core for ONE frame: returns
     (loss_mean, grads tuple, residual_tiles (T, 8, P) channel-major).
@@ -848,7 +929,8 @@ def render_train_grads(
         jnp.asarray(tan_fovy, jnp.float32)[None],
         width, height, truth_tiles[None],
         jnp.asarray(background, jnp.float32)[None],
-        sh_degree, tile=tile, chunk=chunk, max_dup=max_dup, interpret=interpret,
+        sh_degree, tile=tile, chunk=chunk, max_dup=max_dup,
+        interpret=interpret, mm_bf16=mm_bf16,
     )
     return loss, grads, res4[0]
 

@@ -117,6 +117,8 @@ class ProjectedSplats(NamedTuple):
     opacity: jax.Array  # (N,)
     depth: jax.Array  # (N,) view-space z (positive in front)
     radius: jax.Array  # (N,) float 3-sigma pixel radius (0 when culled)
+    rx: jax.Array  # (N,) tight per-axis half-extents (opacity-aware
+    ry: jax.Array  # ellipse AABB; see project_splat_components)
     valid: jax.Array  # (N,) bool
 
 
@@ -139,7 +141,10 @@ class SplatComponents(NamedTuple):
     cb2: jax.Array  # color b
     opacity: jax.Array
     depth: jax.Array
-    radius: jax.Array
+    radius: jax.Array  # 3-sigma_max circle (reference convention; kept
+    # for diagnostics) — binning uses the tight rx/ry box
+    rx: jax.Array
+    ry: jax.Array
     valid: jax.Array  # bool
 
 
@@ -293,17 +298,35 @@ def project_splat_components(
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 1e-12)))
 
+    # Tight per-axis, opacity-aware extents (gsplat-style tight bounds;
+    # the INRIA/reference convention is a CIRCULAR ceil(3*sigma_max) box,
+    # /root/reference submodule semantics): the compositing mask skips any
+    # pixel with alpha = op*exp(power) < ALPHA_MIN, so a splat's visible
+    # support is the ellipse q <= k^2 with k^2 = 2*ln(op*255), whose exact
+    # axis-aligned bounding box is k*sigma_x by k*sigma_y (sigma from the
+    # 2D covariance diagonal).  Capping k at 3 keeps the reference's
+    # 3-sigma truncation for opaque splats; for faint or anisotropic
+    # splats the box (and the duplicate count every downstream stage pays
+    # for) shrinks by the opacity and sigma_min/sigma_max factors.
+    k2 = jnp.clip(
+        2.0 * jnp.log(jnp.maximum(opacities.astype(f32), 1e-12) * 255.0),
+        0.0, 9.0,
+    )
+    k = jnp.sqrt(k2)
+    rx = jnp.ceil(k * jnp.sqrt(jnp.maximum(cxx, 1e-12)))
+    ry = jnp.ceil(k * jnp.sqrt(jnp.maximum(cyy, 1e-12)))
+
     # NDC -> pixel centers: ((v + 1) * S - 1) / 2
     px = ((ph_x * p_w + 1.0) * width - 1.0) * 0.5
     py = ((ph_y * p_w + 1.0) * height - 1.0) * 0.5
 
     on_screen = (
-        (px + radius >= 0)
-        & (px - radius < width)
-        & (py + radius >= 0)
-        & (py - radius < height)
+        (px + rx >= 0)
+        & (px - rx < width)
+        & (py + ry >= 0)
+        & (py - ry < height)
     )
-    valid = active & in_front & det_ok & on_screen & (radius > 0)
+    valid = active & in_front & det_ok & on_screen & (rx > 0) & (ry > 0)
 
     dx = x - cam_pos[0]
     dy = y - cam_pos[1]
@@ -325,6 +348,8 @@ def project_splat_components(
         opacity=opacities.astype(f32),
         depth=depth,
         radius=jnp.where(valid, radius, 0.0),
+        rx=jnp.where(valid, rx, 0.0),
+        ry=jnp.where(valid, ry, 0.0),
         valid=valid,
     )
 
@@ -360,5 +385,7 @@ def project_splats(
         opacity=c.opacity,
         depth=c.depth,
         radius=c.radius,
+        rx=c.rx,
+        ry=c.ry,
         valid=c.valid,
     )

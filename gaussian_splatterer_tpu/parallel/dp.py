@@ -54,7 +54,10 @@ def make_camera_mesh(devices=None) -> Mesh:
 def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
     if runtime is None:
         return {}
-    return dict(tile=runtime.tile_px, max_dup=runtime.max_dup)
+    return dict(
+        tile=runtime.tile_px, max_dup=runtime.max_dup,
+        mm_bf16=getattr(runtime, "train_mm_bf16", True),
+    )
 
 
 def make_local_accumulate(

@@ -327,7 +327,10 @@ class Trainer:
             # residual + gradient replay in one Pallas launch per group)
             self._tile_space = runtime.tile_px
             fused = True
-            fused_opts = dict(tile=runtime.tile_px, max_dup=runtime.max_dup)
+            fused_opts = dict(
+                tile=runtime.tile_px, max_dup=runtime.max_dup,
+                mm_bf16=getattr(runtime, "train_mm_bf16", True),
+            )
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,

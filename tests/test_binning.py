@@ -31,7 +31,8 @@ def _comps(mx, my, radius, depth=None, n_pad=0):
         mx=pad(mx), my=pad(my), ca=pad(np.ones(n)), cb=pad(np.zeros(n)),
         cc=pad(np.ones(n)), cr=pad(np.zeros(n)), cg=pad(np.zeros(n)),
         cb2=pad(np.zeros(n)), opacity=pad(np.ones(n)), depth=pad(depth),
-        radius=pad(radius), valid=jnp.asarray(valid),
+        radius=pad(radius), rx=pad(radius), ry=pad(radius),
+        valid=jnp.asarray(valid),
     )
 
 

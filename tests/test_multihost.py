@@ -91,7 +91,7 @@ def test_two_process_dp_matches_single_controller(tmp_path):
     )
     step = make_train_step(
         RES, RES, 1, renderer="tiled", fused=True,
-        fused_opts=dict(tile=TILE, max_dup=2**12),
+        fused_opts=dict(tile=TILE, max_dup=2**12, mm_bf16=True),
     )
     new_model, metrics = step(model, truth_tiles, cams, lrs)
     ref_loss = float(metrics.loss)

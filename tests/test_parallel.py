@@ -151,7 +151,8 @@ def test_dp_fused_matches_single_device(sh_degree):
 
     single = make_train_step(
         res, res, sh_degree, renderer="tiled", fused=True,
-        fused_opts=dict(tile=tile, max_dup=2**12),
+        fused_opts=dict(tile=tile, max_dup=2**12,
+                        mm_bf16=runtime.train_mm_bf16),
     )
     m1, met1 = single(model, truth_tiles, cams, lrs)
 
@@ -191,7 +192,8 @@ def test_fsdp_fused_matches_single_device(sh_degree):
 
     single = make_train_step(
         res, res, sh_degree, renderer="tiled", fused=True,
-        fused_opts=dict(tile=tile, max_dup=2**12),
+        fused_opts=dict(tile=tile, max_dup=2**12,
+                        mm_bf16=runtime.train_mm_bf16),
     )
     m1, met1 = single(model, truth_tiles, cams, lrs)
 

@@ -182,10 +182,11 @@ def random_projected(n, rng, force_dense=False):
         opac[:] = 0.995  # exercise the 0.99 clamp and early termination
     depth = np.sort(rng.uniform(1, 10, n)).astype(np.float32)
     valid = rng.uniform(size=n) > 0.1
+    rad = jnp.where(jnp.asarray(valid), 5.0, 0.0)
     return ProjectedSplats(
         mean2d=jnp.asarray(mean2d), conic=jnp.asarray(conic), color=jnp.asarray(color),
         opacity=jnp.asarray(opac), depth=jnp.asarray(depth),
-        radius=jnp.where(jnp.asarray(valid), 5.0, 0.0), valid=jnp.asarray(valid),
+        radius=rad, rx=rad, ry=rad, valid=jnp.asarray(valid),
     )
 
 

@@ -182,15 +182,17 @@ def test_overflow_auto_recovery_grows_dup_buffer():
     runtime.max_dup = 128  # one chunk: guaranteed overflow for wide splats
     runtime.splats_capacity = 16
 
-    # fat splats covering many tiles each (16 splats x up to 16 tiles > 128)
+    # fat splats covering many tiles each (16 splats x up to 16 tiles > 128;
+    # sized for the tight opacity-aware AABB culling, which bins ~half the
+    # duplicates the old circular 3-sigma box did)
     h = SplatModelHost(16, 1, 4)
     for i in range(16):
         h.push_back(
             [0.1 * i - 0.75, 0.05 * i - 0.4, 0.05 * i],
-            rgb_sh([0.6, 0.4, 0.3]), [1.5] * 3, 0.9, [1, 0, 0, 0],
+            rgb_sh([0.6, 0.4, 0.3]), [2.5] * 3, 0.95, [1, 0, 0, 0],
         )
     p = small_project()
-    p.paramScaleMax = 2.0  # keep the fat splats fat after the SGD clamp
+    p.paramScaleMax = 3.0  # keep the fat splats fat after the SGD clamp
     trainer = Trainer(p, runtime, h.to_device(), renderer="tiled")
     trainer.capture_truths(OracleRtx(target_model(), res=res))
 
