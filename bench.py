@@ -37,7 +37,8 @@ W = H = 1024
 N_SPLATS = 50_000
 CAPACITY = 65_536
 TILE = 32  # measured fastest on v5e (16: 81 ms, 32: 63 ms, 64: VMEM OOM)
-MAX_DUP = 2**18  # ~204k duplicates at this scene/tile; 2x headroom
+MAX_DUP = 2**18  # ~215k duplicates at this scene/tile; headroom
+CHUNK = 256  # 19% faster than 128 (fewer work items; matmuls stay hidden)
 FRAMES = 8  # frames per fused launch (the trainer's default frame_group)
 REPS = 30
 REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
@@ -134,7 +135,7 @@ def main():
     def fwdbwd(p, tt):
         loss, grads, var, _, nd = render_train_grads_batch(
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
-            tile=TILE, max_dup=MAX_DUP,
+            tile=TILE, max_dup=MAX_DUP, chunk=CHUNK,
             mm_bf16=True,  # production trainer default (train_mm_bf16)
         )
         return loss, grads, nd

@@ -166,6 +166,11 @@ class RuntimeConfig:
     # (~0.2% relative) — invisible under the MC truth noise; the serve/
     # parity render paths always stay f32.  Set False for bit-parity runs.
     train_mm_bf16: bool = True
+    # Splat-chunk width of the fused train kernel.  256 measured 19%
+    # faster than 128 at 50k/1024^2/tile 32 on v5e (fewer work items;
+    # the wider cumsum matmuls stay hidden under VPU work); 512 exceeds
+    # the 16 MB scoped-VMEM limit.
+    train_chunk: int = 256
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

@@ -72,8 +72,12 @@ def work_capacity(num_tiles: int, max_dup: int, chunk: int) -> int:
 
 
 class TwoPassWork(NamedTuple):
-    """Work list for the fused train kernel: each tile's chunks appear twice
-    back-to-back — a forward compositing pass, then a gradient replay pass.
+    """Work list for the fused train kernel: each MULTI-chunk tile's chunks
+    appear twice back-to-back — a forward compositing pass, then a gradient
+    replay pass.  A tile whose duplicates fit ONE chunk gets a single FUSED
+    item that does forward + residual + gradients in one visit, reusing the
+    live compositing state (tiles average ~1.6 chunks at the headline
+    scene, so this halves the item count for roughly half the tiles).
 
     W2 = 2 * work_capacity."""
 
@@ -83,7 +87,9 @@ class TwoPassWork(NamedTuple):
     is_last_p1: jax.Array  # (W2,) 1 on the tile's last pass-1 chunk
     is_pass2: jax.Array  # (W2,) 1 during the gradient replay pass
     is_pad: jax.Array  # (W2,) 1 for padding items
-    slab_segment: jax.Array  # (W2,) feature-block id for pass-2 slabs, else B
+    is_fused: jax.Array  # (W2,) 1 on single-chunk tiles' only item
+    slab_segment: jax.Array  # (W2,) feature-block id for slab-producing
+    # items (pass-2 and fused), else B (dump segment)
 
 
 def make_two_pass_worklist(
@@ -95,7 +101,8 @@ def make_two_pass_worklist(
     num_blocks = max_dup // chunk
     start_blk = tile_start // chunk
     n_chunks = jnp.maximum(1, -(-tile_end // chunk) - start_blk)
-    n2 = 2 * n_chunks
+    fuse_tile = n_chunks == 1  # single item: fwd + residual + bwd in one
+    n2 = jnp.where(fuse_tile, 1, 2 * n_chunks)
     w_offs = jnp.cumsum(n2)
     w_actual = w_offs[-1]
     w_cap2 = 2 * work_capacity(num_tiles, max_dup, chunk)
@@ -108,13 +115,15 @@ def make_two_pass_worklist(
     )
     l = w - (w_offs - n2)[wt]
     npass = n_chunks[wt]
-    is_pass2 = l >= npass
+    fused = fuse_tile[wt]
+    is_pass2 = (~fused) & (l >= npass)
     c = l - jnp.where(is_pass2, npass, 0)
     wb = jnp.clip(start_blk[wt] + c, 0, num_blocks - 1)
     pad = w >= w_actual
-    is_first = (~pad) & (~is_pass2) & (c == 0)
-    is_last_p1 = (~pad) & (~is_pass2) & (c == npass - 1)
-    slab_segment = jnp.where((~pad) & is_pass2, wb, num_blocks)
+    is_first = (~pad) & (~fused) & (~is_pass2) & (c == 0)
+    is_last_p1 = (~pad) & (~fused) & (~is_pass2) & (c == npass - 1)
+    emits_slab = (~pad) & (is_pass2 | fused)
+    slab_segment = jnp.where(emits_slab, wb, num_blocks)
     return TwoPassWork(
         work_tile=wt,
         work_block=wb.astype(i32),
@@ -122,6 +131,7 @@ def make_two_pass_worklist(
         is_last_p1=is_last_p1.astype(i32),
         is_pass2=(is_pass2 & ~pad).astype(i32),
         is_pad=pad.astype(i32),
+        is_fused=(fused & ~pad).astype(i32),
         slab_segment=slab_segment.astype(i32),
     )
 
@@ -214,11 +224,7 @@ def bin_splats_batch(
     # duplicate positions, and fill the gaps with a batched per-frame
     # cummax — monotone carriers make cummax pick the latest seed, and the
     # packed low bits ride along.  offs_excl is itself monotone at seed
-    # positions, so it travels as its own un-packed word.  Batched scatter
-    # with shared indices + batched cummax measured ~0.1 ms total
-    # (scripts/scatter_probe.py).
-    nonempty = (ntiles > 0) & (offs_f - ntiles.astype(jnp.float32) < max_dup)
-    starts_g = jnp.where(nonempty, offs_excl + f_dups, fD).reshape(-1)
+    # positions, so it travels as its own un-packed word.
 
     carrier_bits = n.bit_length()  # slot_local + 1 <= n
     payload_bits = 31 - carrier_bits
@@ -260,15 +266,25 @@ def bin_splats_batch(
         [offs_excl + 1] + [carrier | wv for wv in word_exprs]
     )  # (W, F, N); word 0 = offs_excl + 1 (its own monotone carrier)
     n_words = seeds.shape[0]
-    seeded = (
-        jnp.zeros((n_words, fD), i32)
-        .at[:, starts_g]
-        .max(seeds.reshape(n_words, fN), mode="drop")
-    )
-    # barrier: XLA fuses this scatter INTO the cummax as one kCustom fusion
-    # that ran 41 ms/step at 8 frames of 1024^2 (trace fusion.374), while
-    # the isolated scatter and batched cummax are each sub-ms
-    # (scripts/scatter_probe.py) — keep them separate ops
+    # Seed positions are the UNGATED offs_excl: non-decreasing, so each of
+    # these f x W unrolled 1-D scatters carries indices_are_sorted=True —
+    # the batched 2-D scatter (dynamic indices, no sortedness hint) lowered
+    # to a 41 ms/step fusion at 8 frames of 1024^2.  Collisions (an empty
+    # splat shares offs_excl with the NEXT non-empty one) resolve correctly
+    # under max: the true owner has the highest depth slot, hence the
+    # largest carrier.  Overflow starts (>= max_dup) drop via OOB; trailing
+    # empty splats seed the gated slack region, which dup_valid discards.
+    rows = []
+    for fr in range(f):
+        rows.append(jnp.stack([
+            jnp.zeros((max_dup,), i32).at[offs_excl[fr]].max(
+                seeds[w, fr], mode="drop", indices_are_sorted=True
+            )
+            for w in range(n_words)
+        ]))
+    seeded = jnp.stack(rows, axis=1).reshape(n_words, fD)
+    # barrier: keep the scatters out of the cummax fusion (a combined
+    # kCustom fusion measured 41 ms/step; separated they attribute cleanly)
     seeded = jax.lax.optimization_barrier(seeded)
     filled = jax.lax.cummax(
         seeded.reshape(n_words, f, max_dup), axis=2

@@ -421,7 +421,8 @@ _FL_FIRST = 1  # tile's first pass-1 chunk
 _FL_LAST_P1 = 2  # tile's last pass-1 chunk (residual forms here)
 _FL_PASS2 = 4  # gradient-replay pass
 _FL_PAD = 8  # padding item: skip all compute
-_FL_BITS = 4  # flag field width; the global tile id rides in the high bits
+_FL_FUSED = 16  # single-chunk tile: fwd + residual + bwd in one item
+_FL_BITS = 5  # flag field width; the global tile id rides in the high bits
 _FL_MASK = (1 << _FL_BITS) - 1
 
 
@@ -470,7 +471,71 @@ def _train_kernel(
     # slab_segment routes to the dump segment, which the segment_sum drops,
     # so whatever the revolving out buffer holds is discarded unread.
 
-    @pl.when((fl & (_FL_PAD | _FL_PASS2)) == 0)
+    @pl.when((fl & (_FL_PAD | _FL_FUSED)) == _FL_FUSED)
+    def _():
+        # Single-chunk tile: forward + residual + gradient replay in ONE
+        # item, REUSING the live chunk state (the replay's entry state is
+        # T=1/alive=1, identical to this fresh pass-1 state, so weight/t_k/
+        # keep carry over — the whole second _chunk_state+_composite_chunk
+        # is elided along with the pass-2 work item).
+        a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
+            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
+            tx_tiles, chunk,
+        )
+        ones_p = jnp.ones((p_count, 1), jnp.float32)
+        weight, t_k, a_eff, keep, t_out, _alive = _composite_chunk(
+            a, ones_p, ones_p, mm_bf16
+        )
+        c3 = jnp.concatenate(
+            [feat_ref[_F_CR : _F_CR + 1, :],
+             feat_ref[_F_CG : _F_CG + 1, :],
+             feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+        )
+        c_tot = jax.lax.dot_general(
+            weight, c3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, 3)
+        bg_r = bg_ref[frame, 0]
+        bg_g = bg_ref[frame, 1]
+        bg_b = bg_ref[frame, 2]
+        t_n = t_out
+        truc = jnp.transpose(truth_ref[0])  # (P, 8)
+        res_r = truc[:, 0:1] - (c_tot[:, 0:1] + t_n * bg_r)
+        res_g = truc[:, 1:2] - (c_tot[:, 1:2] + t_n * bg_g)
+        res_b = truc[:, 2:3] - (c_tot[:, 2:3] + t_n * bg_b)
+        res_ref[0] = jnp.transpose(
+            jnp.concatenate(
+                [res_r, res_g, res_b, t_n,
+                 jnp.zeros((p_count, _C_ROWS - 4), jnp.float32)],
+                axis=1,
+            )
+        )
+        g_t = res_r * bg_r + res_g * bg_g + res_b * bg_b
+        gc = (
+            res_r * feat_ref[_F_CR : _F_CR + 1, :]
+            + res_g * feat_ref[_F_CG : _F_CG + 1, :]
+            + res_b * feat_ref[_F_CB2 : _F_CB2 + 1, :]
+        )
+        g_ctot = (
+            res_r * c_tot[:, 0:1]
+            + res_g * c_tot[:, 1:2]
+            + res_b * c_tot[:, 2:3]
+        )
+        cum_gwc = _cumsum_lanes(weight * gc, mm_bf16)
+        g_s = g_ctot - cum_gwc
+        inv1ma = 1.0 / (1.0 - a_eff)
+        d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
+        grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
+        d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
+        dfeat_ref[0] = _grad_rows_moments(
+            weight, d_alpha, alpha_raw,
+            feat_ref[_F_OP : _F_OP + 1, :],
+            feat_ref[_F_MX : _F_MX + 1, :],
+            feat_ref[_F_MY : _F_MY + 1, :],
+            ca, cb, cc, res_r, res_g, res_b, t_img, tile, tx_tiles,
+        )
+
+    @pl.when((fl & (_FL_PAD | _FL_PASS2 | _FL_FUSED)) == 0)
     def _():
         @pl.when(fl & _FL_FIRST != 0)
         def _():
@@ -614,7 +679,7 @@ def max_frame_group(
 
 
 def _worklist_flags(w2) -> jax.Array:
-    """Pack the four TwoPassWork booleans into one int32 bitfield array
+    """Pack the TwoPassWork booleans into one int32 bitfield array
     (scalar-prefetch operands live in small SMEM; frame batching multiplies
     the work-list length by the group size)."""
     return (
@@ -622,6 +687,7 @@ def _worklist_flags(w2) -> jax.Array:
         + w2.is_last_p1 * _FL_LAST_P1
         + w2.is_pass2 * _FL_PASS2
         + w2.is_pad * _FL_PAD
+        + w2.is_fused * _FL_FUSED
     ).astype(jnp.int32)
 
 
@@ -781,6 +847,7 @@ def render_train_grads_batch(
 
     if interpret is None:
         interpret = _should_interpret()
+    chunk = min(chunk, max_dup)  # tiny dup buffers (tests) cap the chunk
     tx_tiles = -(-width // tile)
     ty_tiles = -(-height // tile)
     num_tiles = tx_tiles * ty_tiles

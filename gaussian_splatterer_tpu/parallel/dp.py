@@ -57,6 +57,7 @@ def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
     return dict(
         tile=runtime.tile_px, max_dup=runtime.max_dup,
         mm_bf16=getattr(runtime, "train_mm_bf16", True),
+        chunk=getattr(runtime, "train_chunk", 256),
     )
 
 

@@ -330,6 +330,7 @@ class Trainer:
             fused_opts = dict(
                 tile=runtime.tile_px, max_dup=runtime.max_dup,
                 mm_bf16=getattr(runtime, "train_mm_bf16", True),
+                chunk=getattr(runtime, "train_chunk", 256),
             )
         self._step = make_train_step(
             runtime.render_resolution_x,
