@@ -133,7 +133,7 @@ def main():
 
     @jax.jit
     def fwdbwd(p, tt):
-        loss, grads, var, _, nd = render_train_grads_batch(
+        loss, grads, var, _, nd, nw = render_train_grads_batch(
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
             tile=TILE, max_dup=MAX_DUP, chunk=CHUNK,
             mm_bf16=True,  # production trainer default (train_mm_bf16)

@@ -171,6 +171,13 @@ class RuntimeConfig:
     # the wider cumsum matmuls stay hidden under VPU work); 512 exceeds
     # the 16 MB scoped-VMEM limit.
     train_chunk: int = 256
+    # Work-list budget (items per frame) of the fused train kernel.  None =
+    # the sound worst-case capacity 2*(2T + max_dup/chunk), of which ~2/3
+    # is pad slack at the headline scene — and every pad item still costs a
+    # ~1 us kernel grid step.  A tight budget removes that; overflow is
+    # detected (TrainMetrics.num_work) and auto-grown exactly like the
+    # max_dup duplicate-buffer overflow.
+    train_work_cap: int | None = None
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

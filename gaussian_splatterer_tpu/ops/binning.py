@@ -82,7 +82,8 @@ class TwoPassWork(NamedTuple):
     W2 = 2 * work_capacity."""
 
     work_tile: jax.Array  # (W2,) int32
-    work_block: jax.Array  # (W2,) int32
+    work_block: jax.Array  # (W2,) int32 (pads pinned to the last block so
+    # consecutive pad items never cycle the feature input buffer)
     is_first: jax.Array  # (W2,) 1 on the tile's first pass-1 chunk
     is_last_p1: jax.Array  # (W2,) 1 on the tile's last pass-1 chunk
     is_pass2: jax.Array  # (W2,) 1 during the gradient replay pass
@@ -90,13 +91,36 @@ class TwoPassWork(NamedTuple):
     is_fused: jax.Array  # (W2,) 1 on single-chunk tiles' only item
     slab_segment: jax.Array  # (W2,) feature-block id for slab-producing
     # items (pass-2 and fused), else B (dump segment)
+    slab_pos: jax.Array  # (W2,) COMPACTED output-slot id for slab-producing
+    # items, else E (the dump slot).  Non-emitting grid steps (pads, pass-1)
+    # all target the dump slot, so the kernel's revolving gradient-slab
+    # output block only cycles on emitting items — pads stop paying a
+    # fetch+writeback per step (~1 us each; ~2/3 of the work list is pad
+    # slack at the headline scene).  E = min(work_capacity, work_cap).
+    seg_slot: jax.Array  # (E+1,) feature-block id per compacted slot
+    # (slot-indexed counterpart of slab_segment; [E] is the dump segment B)
+    num_work: jax.Array  # () int32 TRUE item count — may exceed W2 when a
+    # work_cap budget clips the list (items past the budget are dropped;
+    # callers grow the budget like the max_dup overflow machinery)
 
 
 def make_two_pass_worklist(
     tile_start: jax.Array, tile_end: jax.Array,
     num_tiles: int, max_dup: int, chunk: int,
+    work_cap: int | None = None,
 ) -> TwoPassWork:
-    """Build the fused-kernel work list from per-tile LOCAL dup ranges."""
+    """Build the fused-kernel work list from per-tile LOCAL dup ranges.
+
+    ``work_cap`` clips the enumerated list below the sound static bound
+    2*work_capacity: the list is compact (pads are pure tail slack), and
+    every pad item still costs a kernel grid step (~1 us of sequencing
+    overhead on v5e — 2/3 of the grid at the headline scene, and ~4/5 at
+    tile 16), so a budget sized to the scene's TRUE item count with modest
+    slack directly removes that.  Soundness is preserved dynamically:
+    ``num_work`` reports the true count; when it exceeds the budget the
+    trailing items are dropped (wrong image for those tiles) and the
+    caller must grow the budget and recompile — same contract as the
+    max_dup duplicate-buffer overflow."""
     i32 = jnp.int32
     num_blocks = max_dup // chunk
     start_blk = tile_start // chunk
@@ -106,6 +130,8 @@ def make_two_pass_worklist(
     w_offs = jnp.cumsum(n2)
     w_actual = w_offs[-1]
     w_cap2 = 2 * work_capacity(num_tiles, max_dup, chunk)
+    if work_cap is not None:
+        w_cap2 = min(work_cap, w_cap2)
     w = jnp.arange(w_cap2, dtype=i32)
     # wt = searchsorted(w_offs, w, 'right') as a dense count (searchsorted
     # lowers to a slow while loop under vmap; (T, W2) fuses into the sum)
@@ -124,6 +150,18 @@ def make_two_pass_worklist(
     is_last_p1 = (~pad) & (~fused) & (~is_pass2) & (c == npass - 1)
     emits_slab = (~pad) & (is_pass2 | fused)
     slab_segment = jnp.where(emits_slab, wb, num_blocks)
+    # compacted output slots: emitting items get consecutive slots, all
+    # others share the dump slot E.  Sum of emitting chunks <= E by the
+    # work_capacity bound (ceil(dups_t/chunk) + alignment per tile).
+    emit_cap = min(work_capacity(num_tiles, max_dup, chunk), w_cap2)
+    pos = jnp.cumsum(emits_slab.astype(i32)) - 1
+    slab_pos = jnp.where(emits_slab & (pos < emit_cap), pos, emit_cap)
+    seg_slot = (
+        jnp.full((emit_cap + 1,), num_blocks, i32)
+        .at[slab_pos]
+        .set(slab_segment, mode="drop")
+    )
+    wb = jnp.where(pad, num_blocks - 1, wb)  # pinned: no per-pad refetch
     return TwoPassWork(
         work_tile=wt,
         work_block=wb.astype(i32),
@@ -133,6 +171,9 @@ def make_two_pass_worklist(
         is_pad=pad.astype(i32),
         is_fused=(fused & ~pad).astype(i32),
         slab_segment=slab_segment.astype(i32),
+        slab_pos=slab_pos.astype(i32),
+        seg_slot=seg_slot.astype(i32),
+        num_work=w_actual.astype(i32),
     )
 
 

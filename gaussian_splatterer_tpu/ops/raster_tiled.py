@@ -429,6 +429,7 @@ _FL_MASK = (1 << _FL_BITS) - 1
 def _train_kernel(
     work_tf,  # (W,) packed (global tile id << _FL_BITS) | _FL_* flags
     work_block,
+    slab_pos,  # (W,) compacted out-slot ids (consumed by the out index map)
     tstart_arr,
     tend_arr,
     feat_ref,
@@ -697,7 +698,8 @@ def _composite_train_flat(
     bg_f4: jax.Array,  # (F, 4) per-frame background
     work_tf: jax.Array,  # (W,) GLOBAL (tile id << _FL_BITS) | flags
     work_block: jax.Array,  # (W,) GLOBAL feature-block ids
-    slab_segment: jax.Array,  # (W,) global block id for pass-2 slabs, else B_total
+    slab_pos: jax.Array,  # (W,) COMPACTED global slab slot; dump = n_slots-1
+    seg_slot: jax.Array,  # (n_slots,) global block id per slot, dump -> B_total
     tstart: jax.Array,  # (T_total,) global duplicate range starts
     tend: jax.Array,  # (T_total,)
     num_blocks_total: int,
@@ -709,27 +711,35 @@ def _composite_train_flat(
     mm_bf16: bool = False,
 ):
     """Run the fused train kernel over a flat (possibly multi-frame) work
-    list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk))."""
+    list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk)).
+
+    The gradient-slab output is indexed by the COMPACTED ``slab_pos`` (not
+    the grid step): non-emitting items (pads, pass-1 chunks) all target one
+    dump slot, so the revolving out block only fetches/flushes on emitting
+    items — work-list pad slack (~2/3 of the grid at the headline scene)
+    stops paying a per-step out-buffer cycle, and the slab array + its
+    segment_sum shrink ~2x."""
     p_count = tile * tile
     num_tiles_total = truth_tiles.shape[0]
     w_cap = work_tf.shape[0]
+    n_slots = seg_slot.shape[0]
     kw = dict(
         tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame,
         mm_bf16=mm_bf16,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(w_cap,),
         in_specs=[
             pl.BlockSpec(
                 (_F_ROWS_T, chunk),
-                lambda w, wtf, wb, *_: (0, wb[w]),
+                lambda w, wtf, wb, sp, *_: (0, wb[w]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, _C_ROWS, p_count),
-                lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
+                lambda w, wtf, wb, sp, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -737,12 +747,12 @@ def _composite_train_flat(
         out_specs=(
             pl.BlockSpec(
                 (1, _C_ROWS, p_count),
-                lambda w, wtf, wb, *_: (wtf[w] >> _FL_BITS, 0, 0),
+                lambda w, wtf, wb, sp, *_: (wtf[w] >> _FL_BITS, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, _F_ROWS_T, chunk),
-                lambda w, wtf, wb, *_: (w, 0, 0),
+                lambda w, wtf, wb, sp, *_: (sp[w], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -755,16 +765,16 @@ def _composite_train_flat(
         functools.partial(_train_kernel, **kw),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles_total, _C_ROWS, p_count), jnp.float32),
-            jax.ShapeDtypeStruct((w_cap, _F_ROWS_T, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(work_tf, work_block, tstart, tend, feat9, truth_tiles, bg_f4)
+    )(work_tf, work_block, slab_pos, tstart, tend, feat9, truth_tiles, bg_f4)
     dfeat_blocks = jax.ops.segment_sum(
-        dfeat_slabs, slab_segment, num_segments=num_blocks_total + 1
+        dfeat_slabs, seg_slot, num_segments=num_blocks_total + 1
     )[:num_blocks_total]
     d_feat9 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
         _F_ROWS_T, num_blocks_total * chunk
@@ -801,7 +811,7 @@ def composite_train_tiles(
     wtf = (w2.work_tile << _FL_BITS) | _worklist_flags(w2)
     return _composite_train_flat(
         feat9, truth_tiles, bg4,
-        wtf, w2.work_block, w2.slab_segment,
+        wtf, w2.work_block, w2.slab_pos, w2.seg_slot,
         bins.tile_start, bins.tile_end,
         max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
         mm_bf16,
@@ -821,12 +831,24 @@ def render_train_grads_batch(
     max_dup: int = 2**18,
     interpret: bool | None = None,
     mm_bf16: bool = False,
+    band: tuple | None = None,
+    frame_loc_grads: bool = False,
+    work_cap: int | None = None,
 ):
     """Frame-BATCHED fused training core: bin all F frames with one vmapped
     (batched-sort) pass and composite them in ONE Pallas launch over a
     frame-flattened work list — no per-frame launch/glue (the reference's
     per-frame loop is src/Trainer.cu:311-425; here the whole truth batch is
     a single device program).
+
+    ``band=(y_offset_px, band_height)`` restricts rasterization to the
+    horizontal image band [y_offset_px, y_offset_px + band_height): the
+    projection stays full-image, the projected centers are shifted by
+    -y_offset_px (a traced scalar — under shard_map it can derive from
+    ``lax.axis_index``), and binning/compositing run on the
+    ``band_height``-tall local tile grid.  ``truth_tiles`` must then hold
+    ONLY the band's tiles, (F, T_band, 8, P).  Tile-axis model parallelism
+    (parallel/tp.py) builds on this; band_height must be tile-aligned.
 
     Returns (loss_sum, grads, var_loc, res4, num_dup) where
       loss_sum = sum over frames of per-frame mean squared residual,
@@ -848,8 +870,13 @@ def render_train_grads_batch(
     if interpret is None:
         interpret = _should_interpret()
     chunk = min(chunk, max_dup)  # tiny dup buffers (tests) cap the chunk
+    if band is not None:
+        y_off, bin_height = band
+        y_off = jnp.asarray(y_off, jnp.float32)
+    else:
+        y_off, bin_height = None, height
     tx_tiles = -(-width // tile)
-    ty_tiles = -(-height // tile)
+    ty_tiles = -(-bin_height // tile)
     num_tiles = tx_tiles * ty_tiles
     num_blocks = max_dup // chunk
     f = views.shape[0]
@@ -868,9 +895,13 @@ def render_train_grads_batch(
             views, proj_views, cam_posns, tan_fovxs, tan_fovys
         )
     )
-    bins = bin_splats_batch(proj_sg, width, height, tile, max_dup, chunk)
+    if y_off is not None:
+        proj_sg = proj_sg._replace(my=proj_sg.my - jax.lax.stop_gradient(y_off))
+    bins = bin_splats_batch(proj_sg, width, bin_height, tile, max_dup, chunk)
     w2 = jax.vmap(
-        lambda ts, te: make_two_pass_worklist(ts, te, num_tiles, max_dup, chunk)
+        lambda ts, te: make_two_pass_worklist(
+            ts, te, num_tiles, max_dup, chunk, work_cap
+        )
     )(bins.tile_start, bins.tile_end)
 
     # flatten to global (frame-major) ids
@@ -878,11 +909,25 @@ def render_train_grads_batch(
     wt_g = w2.work_tile + f_col * num_tiles
     wtf_g = ((wt_g << _FL_BITS) | _worklist_flags(w2)).reshape(-1)
     wb_g = (w2.work_block + f_col * num_blocks).reshape(-1)
-    seg_g = jnp.where(
-        w2.slab_segment == num_blocks,
-        f * num_blocks,
-        w2.slab_segment + f_col * num_blocks,
+    # compacted slab slots: frame-local slots stack, ONE global dump at the
+    # end; per-slot segment ids globalize the same way (emit_cap must match
+    # make_two_pass_worklist's computation under the work_cap budget)
+    emit_cap = work_capacity(num_tiles, max_dup, chunk)
+    if work_cap is not None:
+        emit_cap = min(emit_cap, work_cap, 2 * emit_cap)
+    sp_g = jnp.where(
+        w2.slab_pos == emit_cap,
+        f * emit_cap,
+        w2.slab_pos + f_col * emit_cap,
     ).reshape(-1)
+    seg_slot_g = jnp.concatenate([
+        jnp.where(
+            w2.seg_slot[:, :emit_cap] == num_blocks,
+            f * num_blocks,
+            w2.seg_slot[:, :emit_cap] + f_col * num_blocks,
+        ).reshape(-1),
+        jnp.full((1,), f * num_blocks, i32),
+    ])
 
     # Differentiable feature build.  means are broadcast to (F, C, 3) so the
     # pullback returns PER-FRAME location gradients — the densify variance
@@ -898,8 +943,9 @@ def render_train_grads_batch(
                 mb, shs_, scales_, opac_, rot_, active,
                 view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
             )
+            my = pr.my if y_off is None else pr.my - y_off
             return jnp.stack(
-                [pr.mx, pr.my, pr.ca, pr.cb, pr.cc,
+                [pr.mx, my, pr.ca, pr.cb, pr.cc,
                  pr.cr, pr.cg, pr.cb2, pr.opacity], axis=0,
             )  # (9, N)
 
@@ -918,7 +964,7 @@ def render_train_grads_batch(
     )
     truth_flat = truth_tiles.reshape(f * num_tiles, _C_ROWS, p_count)
     res8, d_feat9 = _composite_train_flat(
-        feat9, truth_flat, bg4, wtf_g, wb_g, seg_g,
+        feat9, truth_flat, bg4, wtf_g, wb_g, sp_g, seg_slot_g,
         bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
         mm_bf16,
@@ -958,17 +1004,26 @@ def render_train_grads_batch(
     d_rows = jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)
     d_means_b, d_shs, d_scales, d_opac, d_rot = pull_rows(d_rows)
     g_means = jnp.sum(d_means_b, axis=0)
-    var_loc = jnp.sum(
-        jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0
+    # densify "variance" signal = sum of per-frame |location-grad| norms
+    # (src/Trainer.cu:52-54).  The norm is nonlinear, so band-sharded
+    # callers (parallel/tp.py) need the RAW per-frame gradients to psum
+    # over bands BEFORE the norm — frame_loc_grads returns them instead.
+    var_loc = (
+        d_means_b
+        if frame_loc_grads
+        else jnp.sum(jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0)
     )
     res8_frames = res8.reshape(f, num_tiles, _C_ROWS, p_count)
     loss_sum = jnp.sum(
         jnp.mean(jnp.square(res8_frames[:, :, 0:3, :]), axis=(1, 2, 3))
     )
+    # overflow telemetry: num_dup > max_dup or num_work > the work_cap
+    # budget means the frame was truncated — callers grow + recompile
     num_dup = jnp.max(bins.num_dup)
+    num_work = jnp.max(w2.num_work)
     return (
         loss_sum, (g_means, d_shs, d_scales, d_opac, d_rot), var_loc,
-        res8_frames, num_dup,
+        res8_frames, num_dup, num_work,
     )
 
 
@@ -989,7 +1044,7 @@ def render_train_grads(
     grads follow the reference convention (J^T residual — the *negative*
     L2 gradient, applied with += by the SGD step, src/Trainer.cu:81-101).
     Thin wrapper over render_train_grads_batch with F=1."""
-    loss, grads, _var, res4, _nd = render_train_grads_batch(
+    loss, grads, _var, res4, _nd, _nw = render_train_grads_batch(
         means, shs, scales, opacities, rotations, active,
         view[None], proj_view[None], jnp.asarray(cam_pos)[None],
         jnp.asarray(tan_fovx, jnp.float32)[None],

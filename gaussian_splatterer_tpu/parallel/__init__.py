@@ -11,17 +11,27 @@ from gaussian_splatterer_tpu.parallel.fsdp import (
     shard_model,
     shard_truths_2d,
 )
+from gaussian_splatterer_tpu.parallel.tp import (
+    TILE_AXIS,
+    make_tile_mesh,
+    make_tp_train_step,
+    shard_truths_tp,
+)
 
 __all__ = [
     "CAMERA_AXIS",
     "SPLAT_AXIS",
+    "TILE_AXIS",
     "make_camera_mesh",
     "make_dp_train_step",
     "make_2d_mesh",
     "make_fsdp_train_step",
+    "make_tile_mesh",
+    "make_tp_train_step",
     "shard_model",
     "shard_truths",
     "shard_truths_2d",
+    "shard_truths_tp",
     "init_distributed",
 ]
 

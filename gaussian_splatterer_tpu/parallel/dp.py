@@ -58,6 +58,7 @@ def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
         tile=runtime.tile_px, max_dup=runtime.max_dup,
         mm_bf16=getattr(runtime, "train_mm_bf16", True),
         chunk=getattr(runtime, "train_chunk", 256),
+        work_cap=getattr(runtime, "train_work_cap", None),
     )
 
 
@@ -116,9 +117,9 @@ def make_local_accumulate(
             )
 
             def group_fn(carry, xg):
-                g_sum, var_sum, loss_sum, ndup = carry
+                g_sum, var_sum, loss_sum, ndup, nwork = carry
                 truth_g, view_g, pv_g, pos_g, tx_g, ty_g, bg_g = xg
-                l_sum, g, v, _, nd = render_train_grads_batch(
+                l_sum, g, v, _, nd, nw = render_train_grads_batch(
                     *params, active, view_g, pv_g, pos_g, tx_g, ty_g,
                     width, height, truth_g, bg_g, sh_degree, **fkw,
                 )
@@ -127,6 +128,7 @@ def make_local_accumulate(
                     var_sum + v,
                     loss_sum + l_sum,
                     jnp.maximum(ndup, nd),
+                    jnp.maximum(nwork, nw),
                 ), None
 
             init = (
@@ -134,11 +136,12 @@ def make_local_accumulate(
                 jnp.zeros((capacity,), jnp.float32),
                 jnp.float32(0.0),
                 jnp.int32(0),
+                jnp.int32(0),
             )
-            (g_sum, var_sum, loss_sum, num_dup), _ = jax.lax.scan(
+            (g_sum, var_sum, loss_sum, num_dup, num_work), _ = jax.lax.scan(
                 group_fn, init, xs
             )
-            return g_sum, var_sum, loss_sum, num_dup
+            return g_sum, var_sum, loss_sum, num_dup, num_work
 
         return local_accumulate, True
 
@@ -177,7 +180,7 @@ def make_local_accumulate(
             (truths, cams.view, cams.proj_view, cams.cam_pos,
              cams.tan_fovx, cams.tan_fovy, bgs),
         )
-        return g_sum, var_sum, loss_sum, jnp.int32(-1)
+        return g_sum, var_sum, loss_sum, jnp.int32(-1), jnp.int32(-1)
 
     return local_accumulate, False
 
@@ -221,7 +224,7 @@ def make_dp_train_step(
     def step_sharded(model, truths, cams, bgs, lrs):
         params = (model.means, model.shs, model.scales, model.opacities,
                   model.rotations)
-        g_sum, var_sum, loss_sum, num_dup = local_accumulate(
+        g_sum, var_sum, loss_sum, num_dup, num_work = local_accumulate(
             params, model.active_mask(), model.capacity, truths, cams, bgs
         )
         # single fused all-reduce over ICI for every gradient tensor
@@ -229,6 +232,7 @@ def make_dp_train_step(
             (g_sum, var_sum, loss_sum), CAMERA_AXIS
         )
         num_dup = jax.lax.pmax(num_dup, CAMERA_AXIS)
+        num_work = jax.lax.pmax(num_work, CAMERA_AXIS)
         samples = jnp.float32(truths.shape[0] * n_dev)
         g_means, g_shs, g_scales, g_opac, g_rot = jax.tree.map(
             lambda g: g / samples, g_sum
@@ -242,7 +246,7 @@ def make_dp_train_step(
         )
         metrics = TrainMetrics(
             loss=loss_sum / samples, var_loc=var_sum / samples,
-            avg_grad_loc=g_means, num_dup=num_dup,
+            avg_grad_loc=g_means, num_dup=num_dup, num_work=num_work,
         )
         return new_model, metrics
 

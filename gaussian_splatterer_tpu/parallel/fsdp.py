@@ -108,7 +108,7 @@ def make_fsdp_train_step(
     )
     metric_specs = TrainMetrics(
         loss=P(), var_loc=P(SPLAT_AXIS), avg_grad_loc=P(SPLAT_AXIS),
-        num_dup=P(),
+        num_dup=P(), num_work=P(),
     )
 
     @partial(
@@ -136,10 +136,11 @@ def make_fsdp_train_step(
         )
         params = (full.means, full.shs, full.scales, full.opacities,
                   full.rotations)
-        g_sum, var_sum, loss_sum, num_dup = local_accumulate(
+        g_sum, var_sum, loss_sum, num_dup, num_work = local_accumulate(
             params, full.active_mask(), full.capacity, truths, cams, bgs
         )
         num_dup = jax.lax.pmax(num_dup, (CAMERA_AXIS, SPLAT_AXIS))
+        num_work = jax.lax.pmax(num_work, (CAMERA_AXIS, SPLAT_AXIS))
 
         # 2. gradient reduction: reduce-scatter over the splat axis keeps
         #    only the local shard's gradients, then psum over cameras
@@ -173,6 +174,7 @@ def make_fsdp_train_step(
             var_loc=var_shard / samples,
             avg_grad_loc=g_means,
             num_dup=num_dup,
+            num_work=num_work,
         )
         return new_shard, metrics
 

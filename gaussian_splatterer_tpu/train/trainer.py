@@ -95,6 +95,9 @@ class TrainMetrics(NamedTuple):
     # path; -1 when the renderer doesn't report it).  > max_dup means the
     # duplicate buffer overflowed and the deepest splats were dropped —
     # Trainer.maybe_grow_dup_buffer auto-recovers.
+    num_work: jax.Array | int = -1  # () int32 max work-list items any
+    # frame enumerated (fused path).  > the train_work_cap budget means the
+    # trailing items were dropped; the same auto-grow machinery recovers.
 
 
 # Renderer signature shared by oracle and tiled paths.
@@ -197,27 +200,28 @@ def make_train_step(
             )
 
             def group_fn(carry, xg):
-                gsum, var, loss_sum, ndup = carry
+                gsum, var, loss_sum, ndup, nwork = carry
                 truth_g, view_g, pv_g, pos_g, tx_g, ty_g, bg_g = xg
-                l_sum, g, v, _, nd = render_train_grads_batch(
+                l_sum, g, v, _, nd, nw = render_train_grads_batch(
                     *params, active, view_g, pv_g, pos_g, tx_g, ty_g,
                     width, height, truth_g, bg_g, sh_degree, **fkw,
                 )
                 gsum = jax.tree.map(jnp.add, gsum, g)
                 return (
-                    gsum, var + v, loss_sum + l_sum, jnp.maximum(ndup, nd)
+                    gsum, var + v, loss_sum + l_sum,
+                    jnp.maximum(ndup, nd), jnp.maximum(nwork, nw),
                 ), None
 
-            init = (avg0, var0, jnp.float32(0.0), jnp.int32(0))
+            init = (avg0, var0, jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
             if (2 * f) // group == 1:
                 # single group: skip lax.scan — its xs dynamic-slice copies
                 # the whole truth batch every step (measured 12 ms at 8
                 # frames/1024^2)
-                (gsum, var, loss_sum, num_dup), _ = group_fn(
+                (gsum, var, loss_sum, num_dup, num_work), _ = group_fn(
                     init, jax.tree.map(lambda x: x[0], xs)
                 )
             else:
-                (gsum, var, loss_sum, num_dup), _ = jax.lax.scan(
+                (gsum, var, loss_sum, num_dup, num_work), _ = jax.lax.scan(
                     group_fn, init, xs
                 )
             avg = jax.tree.map(lambda g: g / samples, gsum)
@@ -247,6 +251,7 @@ def make_train_step(
                 frame_fn, (avg0, var0, jnp.float32(0.0)), xs
             )
             num_dup = jnp.int32(-1)  # not reported off the fused path
+            num_work = jnp.int32(-1)
 
         g_means, g_shs, g_scales, g_opac, g_rot = avg
         new_model = model.replace(
@@ -258,7 +263,7 @@ def make_train_step(
         )
         metrics = TrainMetrics(
             loss=loss_sum / samples, var_loc=var, avg_grad_loc=g_means,
-            num_dup=num_dup,
+            num_dup=num_dup, num_work=num_work,
         )
         return new_model, metrics
 
@@ -331,6 +336,7 @@ class Trainer:
                 tile=runtime.tile_px, max_dup=runtime.max_dup,
                 mm_bf16=getattr(runtime, "train_mm_bf16", True),
                 chunk=getattr(runtime, "train_chunk", 256),
+                work_cap=getattr(runtime, "train_work_cap", None),
             )
         self._step = make_train_step(
             runtime.render_resolution_x,
@@ -361,18 +367,32 @@ class Trainer:
         metrics = metrics if metrics is not None else self.last_metrics
         if metrics is None:
             return False
+        grew = False
         nd = int(metrics.num_dup)
-        if nd <= self.runtime.max_dup:
-            return False
-        new_max = 1 << (int(nd * 1.25) - 1).bit_length()
-        warnings.warn(
-            f"binning duplicate buffer overflow: {nd} > max_dup="
-            f"{self.runtime.max_dup}; growing to {new_max} and recompiling "
-            "(the overflowing step dropped its deepest duplicates)"
-        )
-        self.runtime.max_dup = new_max
-        self._build_step()
-        return True
+        if nd > self.runtime.max_dup:
+            new_max = 1 << (int(nd * 1.25) - 1).bit_length()
+            warnings.warn(
+                f"binning duplicate buffer overflow: {nd} > max_dup="
+                f"{self.runtime.max_dup}; growing to {new_max} and recompiling "
+                "(the overflowing step dropped its deepest duplicates)"
+            )
+            self.runtime.max_dup = new_max
+            grew = True
+        # same contract for the work-list budget (train_work_cap): items
+        # past the budget are dropped, num_work reports the true count
+        cap = getattr(self.runtime, "train_work_cap", None)
+        nw = int(getattr(metrics, "num_work", -1))
+        if cap is not None and nw > cap:
+            new_cap = -(-int(nw * 1.25) // 256) * 256
+            warnings.warn(
+                f"fused work-list overflow: {nw} items > work_cap={cap}; "
+                f"growing to {new_cap} and recompiling"
+            )
+            self.runtime.train_work_cap = new_cap
+            grew = True
+        if grew:
+            self._build_step()
+        return grew
 
     # ------------------------------------------------------------------
     def capture_truths(self, rtx) -> None:

@@ -71,7 +71,7 @@ def run_stage(name):
 
     @jax.jit
     def step(params, truth_tiles):
-        loss, grads, var, _, nd = render_train_grads_batch(
+        loss, grads, var, _, nd, nw = render_train_grads_batch(
             *params, active, views, pvs, poss,
             jnp.asarray(tans[:, 0]), jnp.asarray(tans[:, 1]),
             res, res, truth_tiles, bgs, 1,

@@ -212,3 +212,45 @@ def test_fsdp_fused_matches_single_device(sh_degree):
     )
     for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (4, 2)])
+def test_tp_band_matches_single_device(mesh_shape):
+    """Tile-axis (image-band) parallelism == the single-device fused step:
+    each device rasterizes a horizontal band of its frames (SURVEY §5
+    'tile sharding when cameras < chips'); gradients, the nonlinear
+    densify-variance signal, and the loss must all match."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+    from gaussian_splatterer_tpu.parallel.tp import (
+        make_tile_mesh,
+        make_tp_train_step,
+        shard_truths_tp,
+    )
+
+    res, tile = 128, 16  # 8 tile rows: supports up to 8 bands
+    model, cams, truth_tiles = build_scene_fused(res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    single = make_train_step(
+        res, res, 1, renderer="tiled", fused=True,
+        fused_opts=dict(tile=tile, max_dup=2**12,
+                        mm_bf16=runtime.train_mm_bf16),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+
+    mesh = make_tile_mesh(*mesh_shape, devices=jax.devices()[:8])
+    tp = make_tp_train_step(mesh, res, res, 1, runtime=runtime)
+    m2, met2 = tp(model, shard_truths_tp(mesh, truth_tiles), cams, lrs)
+
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    # band-split psums reassociate float additions: ~1e-7 relative noise
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=5e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -276,7 +276,7 @@ def test_batched_train_grads_match_per_frame():
     truths = jnp.asarray(rng.uniform(0, 1, (3, H, W, 3)).astype(np.float32))
     truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
 
-    loss_b, g_b, var_b, res_b, num_dup = render_train_grads_batch(
+    loss_b, g_b, var_b, res_b, num_dup, num_work = render_train_grads_batch(
         *params, active, views, pvs, poss, txs, tys, W, H,
         truth_tiles, bgs, 1, tile=TILE, max_dup=2**12, interpret=True,
     )
@@ -407,3 +407,46 @@ def test_tile_cm_roundtrip():
     assert float(jnp.abs(tiles[:, 3:, :]).max()) == 0.0
     back = tiles_cm_to_image(tiles, 96, 64, 16)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_work_cap_budget_matches_and_detects_overflow():
+    """A work_cap budget >= the true item count gives IDENTICAL results to
+    the uncapped list (pads are pure tail slack); a too-small budget drops
+    trailing items and must report num_work > cap so the trainer's
+    auto-grow machinery (Trainer.maybe_grow_dup_buffer) can recover."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    params = random_splats(40, 31)[:5]
+    active = random_splats(40, 31)[5]
+    rng = np.random.default_rng(5)
+    view, pv, pos, tx, ty = cam_args()
+    views, pvs, poss = view[None], pv[None], jnp.asarray(pos)[None]
+    txs = jnp.asarray(tx, jnp.float32)[None]
+    tys = jnp.asarray(ty, jnp.float32)[None]
+    bgs = jnp.zeros((1, 3), jnp.float32)
+    truths = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+
+    def run(cap):
+        return render_train_grads_batch(
+            *params, active, views, pvs, poss, txs, tys, W, H,
+            truth_tiles, bgs, 1, tile=TILE, max_dup=2**12, interpret=True,
+            work_cap=cap,
+        )
+
+    l0, g0, v0, r0, nd0, nw0 = run(None)
+    n_items = int(nw0)
+    assert n_items > 2  # scene produces a non-trivial work list
+
+    l1, g1, v1, r1, nd1, nw1 = run(n_items)  # exact budget
+    assert int(nw1) == n_items
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-7)
+
+    _, _, _, _, _, nw2 = run(n_items // 2)  # deliberate overflow
+    assert int(nw2) == n_items > n_items // 2  # true count still reported
