@@ -37,8 +37,12 @@ W = H = 1024
 N_SPLATS = 50_000
 CAPACITY = 65_536
 TILE = 32  # measured fastest on v5e (16: 81 ms, 32: 63 ms, 64: VMEM OOM)
-MAX_DUP = 2**18  # ~215k duplicates at this scene/tile; headroom
+MAX_DUP = 180224  # ~168k duplicates at this scene/tile; chunk-multiple
+# with ~7% headroom — the D-sized gradient-reduction sorts/cumsums scale
+# with this, so power-of-two rounding wasted 3.7 ms/frame (20.6 vs 24.2)
 CHUNK = 256  # 19% faster than 128 (fewer work items; matmuls stay hidden)
+WORK_CAP = 3072  # work-list budget: true count 2723 items/frame + slack
+# (the sound worst-case capacity is 6144 — pure pad slack costs grid steps)
 FRAMES = 8  # frames per fused launch (the trainer's default frame_group)
 REPS = 30
 REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
@@ -135,14 +139,15 @@ def main():
     def fwdbwd(p, tt):
         loss, grads, var, _, nd, nw = render_train_grads_batch(
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
-            tile=TILE, max_dup=MAX_DUP, chunk=CHUNK,
+            tile=TILE, max_dup=MAX_DUP, chunk=CHUNK, work_cap=WORK_CAP,
             mm_bf16=True,  # production trainer default (train_mm_bf16)
         )
-        return loss, grads, nd
+        return loss, grads, nd, nw
 
     out = fwdbwd(params, truth_tiles)  # compile
     jax.block_until_ready(out)
     assert int(out[2]) <= MAX_DUP, "bench scene overflows the binning buffer"
+    assert int(out[3]) <= WORK_CAP, "bench scene overflows the work-list budget"
     # pipelined timing: dispatch REPS batched steps, block once (training
     # dispatches steps back-to-back the same way; amortizes tunnel latency)
     t0 = time.perf_counter()

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--frames", type=int, default=FRAMES)
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--work-cap", type=int, default=None)
+    ap.add_argument("--trace", type=str, default=None)
     args = ap.parse_args()
 
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
@@ -63,6 +64,14 @@ def main():
     outs = [fwdbwd(params, truth_tiles) for _ in range(args.reps)]
     jax.block_until_ready(outs)
     ms = (time.perf_counter() - t0) * 1e3 / (args.reps * args.frames)
+    if args.trace:
+        import sys as _sys
+        _sys.path.insert(0, "scripts")
+        from profile_train import summarize_trace
+        with jax.profiler.trace(args.trace):
+            o = [fwdbwd(params, truth_tiles) for _ in range(3)]
+            jax.block_until_ready(o)
+        summarize_trace(args.trace, steps=3)
     print(
         f"tile={args.tile} chunk={args.chunk} max_dup={args.max_dup} "
         f"frames={args.frames}: {ms:.2f} ms/frame  num_dup={nd} "
