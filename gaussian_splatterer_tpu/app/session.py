@@ -137,7 +137,10 @@ class Session:
                 )
             # binning-overflow auto-recovery at the capture cadence (capture
             # itself syncs the host, so the num_dup read is free); densify
-            # steps also check inside Trainer.train
+            # steps also check inside Trainer.train.  First step also sizes
+            # the work-list budget to the measured item count (one-time;
+            # self-guarded once train_work_cap is set).
+            self.trainer.calibrate_work_cap(metrics)
             if self.project.intervalCapture and it % max(
                 self.project.intervalCapture, 1
             ) == 0:

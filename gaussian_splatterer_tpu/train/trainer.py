@@ -400,6 +400,29 @@ class Trainer:
         return grew
 
     # ------------------------------------------------------------------
+    def calibrate_work_cap(self, metrics: Optional[TrainMetrics] = None,
+                           slack: float = 1.5) -> bool:
+        """One-time work-list budget calibration: when
+        RuntimeConfig.train_work_cap is unset, the fused kernel runs at the
+        sound worst-case work-list capacity, which is mostly pad slack
+        (each pad still costs a grid step — PERF.md round-2).  Size the
+        budget to the measured item count with densify headroom and
+        recompile; later overflow (densify growth, new rig rotations) is
+        recovered by maybe_grow_dup_buffer.  Returns True when it set the
+        cap.  Reads num_work (device sync) — call at natural sync points."""
+        if getattr(self.runtime, "train_work_cap", None) is not None:
+            return False
+        metrics = metrics if metrics is not None else self.last_metrics
+        if metrics is None:
+            return False
+        nw = int(getattr(metrics, "num_work", -1))
+        if nw <= 0:
+            return False
+        self.runtime.train_work_cap = -(-int(nw * slack) // 256) * 256
+        self._build_step()
+        return True
+
+    # ------------------------------------------------------------------
     def capture_truths(self, rtx) -> None:
         """Photograph the scene from every rig camera against white AND
         black backgrounds (src/Trainer.cu:218-250).

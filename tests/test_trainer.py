@@ -232,3 +232,46 @@ def test_frame_group_respects_smem_budget():
     assert g * per_frame <= 1024 * 1024  # never exceeds physical SMEM
     # tiny configs are unconstrained
     assert max_frame_group(64, 64, 16, 2**10) >= 64
+
+
+def test_work_cap_calibration_and_overflow_growth():
+    """calibrate_work_cap sizes the work-list budget to the measured item
+    count (one-time, self-guarded); a later overflow past the budget is
+    reported via TrainMetrics.num_work and auto-grown by
+    maybe_grow_dup_buffer like the duplicate buffer."""
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+    runtime.splats_capacity = 16
+
+    h = SplatModelHost(16, 1, 4)
+    for i in range(10):
+        h.push_back(
+            [0.1 * i - 0.5, 0.05 * i - 0.2, 0.05 * i],
+            rgb_sh([0.6, 0.4, 0.3]), [0.3] * 3, 0.9, [1, 0, 0, 0],
+        )
+    trainer = Trainer(small_project(), runtime, h.to_device(), renderer="tiled")
+    trainer.capture_truths(OracleRtx(target_model(), res=res))
+
+    m1 = trainer.train()
+    nw = int(m1.num_work)
+    assert nw > 0
+    assert trainer.calibrate_work_cap(m1)
+    cap = runtime.train_work_cap
+    assert cap is not None and cap >= nw
+    assert not trainer.calibrate_work_cap(m1)  # one-time
+
+    m2 = trainer.train()  # budgeted step matches the uncapped loss closely
+    np.testing.assert_allclose(float(m2.num_work), nw, rtol=0.5)
+
+    # force an overflowing budget; the grow machinery must recover
+    runtime.train_work_cap = max(2, nw // 4)
+    trainer._build_step()
+    m3 = trainer.train()
+    assert int(m3.num_work) > runtime.train_work_cap
+    assert trainer.maybe_grow_dup_buffer(m3)
+    assert runtime.train_work_cap >= int(m3.num_work)
+    m4 = trainer.train()
+    assert np.isfinite(float(m4.loss))
