@@ -424,6 +424,11 @@ _FL_PAD = 8  # padding item: skip all compute
 _FL_FUSED = 16  # single-chunk tile: fwd + residual + bwd in one item
 _FL_BITS = 5  # flag field width; the global tile id rides in the high bits
 _FL_MASK = (1 << _FL_BITS) - 1
+# NOTE (measured dead end): caching pass-1's masked alphas in VMEM scratch
+# so the replay pass skips the _chunk_state recompute SLOWED the kernel
+# (110.3 -> 119.0 ms/step at K=2/1 MB-per-chunk scratch; K=4 OOM'd the
+# 16 MB scoped VMEM) — the recompute overlaps fine with the MXU cumsums,
+# while the extra scratch steals double-buffering headroom.
 
 
 def _train_kernel(
