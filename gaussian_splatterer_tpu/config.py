@@ -178,6 +178,11 @@ class RuntimeConfig:
     # detected (TrainMetrics.num_work) and auto-grown exactly like the
     # max_dup duplicate-buffer overflow.
     train_work_cap: int | None = None
+    # Mip-splatting-style anti-aliasing (Yu et al. 2023): scale opacity by
+    # sqrt(det(cov2d)/det(cov2d + dilation)) so sub-pixel splats fade
+    # instead of aliasing into 0.3-px discs.  BEYOND reference parity;
+    # off by default (parity tests stay bit-identical).
+    mip_antialias: bool = False
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

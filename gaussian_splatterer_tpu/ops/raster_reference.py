@@ -114,6 +114,7 @@ def render_oracle(
     scale_mod=1.0,
     row_chunk: int = 32,
     tile_cull: int = 0,
+    aa: bool = False,
 ) -> jax.Array:
     """Render (H, W, 3) float32. Differentiable w.r.t. all splat params.
 
@@ -124,7 +125,7 @@ def render_oracle(
     splats = project_splats(
         means, shs, scales, opacities, rotations, active,
         view, proj_view, cam_pos, tan_fovx, tan_fovy,
-        width, height, sh_degree, scale_mod,
+        width, height, sh_degree, scale_mod, aa=aa,
     )
     splats = sort_splats_front_to_back(splats)
     background = jnp.asarray(background, jnp.float32)

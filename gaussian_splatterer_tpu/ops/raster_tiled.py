@@ -839,6 +839,7 @@ def render_train_grads_batch(
     band: tuple | None = None,
     frame_loc_grads: bool = False,
     work_cap: int | None = None,
+    aa: bool = False,
 ):
     """Frame-BATCHED fused training core: bin all F frames with one vmapped
     (batched-sort) pass and composite them in ONE Pallas launch over a
@@ -892,7 +893,7 @@ def render_train_grads_batch(
     def project_one(mns, view, pv, pos, tx, ty):
         return project_splat_components(
             mns, shs, scales, opacities, rotations, active,
-            view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
+            view, pv, pos, tx, ty, width, height, sh_degree, 1.0, aa=aa,
         )
 
     proj_sg = jax.lax.stop_gradient(
@@ -946,7 +947,7 @@ def render_train_grads_batch(
         def one(mb, view, pv, pos, tx, ty):
             pr = project_splat_components(
                 mb, shs_, scales_, opac_, rot_, active,
-                view, pv, pos, tx, ty, width, height, sh_degree, 1.0,
+                view, pv, pos, tx, ty, width, height, sh_degree, 1.0, aa=aa,
             )
             my = pr.my if y_off is None else pr.my - y_off
             return jnp.stack(
@@ -1263,11 +1264,13 @@ def render_tiled_tiles(
     chunk: int = 128,
     max_dup: int = 2**19,
     interpret: bool | None = None,
+    aa: bool = False,
 ):
     """Tile-space render: (T, tile*tile, 3) image tiles, background applied.
 
     The training fast path: losses against pre-tiled truths skip the
-    tile->image assembly entirely (see image_to_tiles)."""
+    tile->image assembly entirely (see image_to_tiles).  ``aa`` enables
+    mip-splat anti-aliasing (transforms.project_splat_components)."""
     if interpret is None:
         interpret = _should_interpret()
     tx_tiles = -(-width // tile)
@@ -1277,7 +1280,7 @@ def render_tiled_tiles(
     proj = project_splat_components(
         means, shs, scales, opacities, rotations, active,
         view, proj_view, cam_pos, tan_fovx, tan_fovy,
-        width, height, sh_degree, scale_mod,
+        width, height, sh_degree, scale_mod, aa=aa,
     )
     bins = bin_splats(
         jax.lax.stop_gradient(proj), width, height, tile, max_dup, chunk
@@ -1336,6 +1339,7 @@ def render_tiled(
     chunk: int = 128,
     max_dup: int = 2**19,
     interpret: bool | None = None,
+    aa: bool = False,
 ):
     """Render (H, W, 3) float32 with the tiled Pallas fast path.
 
@@ -1346,7 +1350,7 @@ def render_tiled(
         means, shs, scales, opacities, rotations, active,
         view, proj_view, cam_pos, tan_fovx, tan_fovy,
         width, height, background, sh_degree, scale_mod,
-        tile=tile, chunk=chunk, max_dup=max_dup, interpret=interpret,
+        tile=tile, chunk=chunk, max_dup=max_dup, interpret=interpret, aa=aa,
     )
     return tiles_to_image(img_tiles, width, height, tile)
 

@@ -204,12 +204,20 @@ def project_splat_components(
     height: int,
     sh_degree: int,
     scale_mod=1.0,
+    aa: bool = False,
 ) -> SplatComponents:
     """The per-splat 'preprocess' stage: 3D gaussians -> 2D screen splats.
 
     All math is written on flat (N,) component vectors (see SplatComponents)
     so the VPU sees fully-populated 8x128 tiles; XLA fuses the whole stage
     into a few kernels.
+
+    ``aa=True`` enables mip-splatting-style anti-aliasing (Yu et al. 2023,
+    public method; BEYOND reference parity — the reference renders the raw
+    INRIA dilation): opacity is scaled by sqrt(det(cov2d) /
+    det(cov2d + dilation)), so sub-pixel splats fade instead of aliasing
+    into 0.3-px-floored discs when zoomed out.  Off by default — parity
+    paths and tests stay bit-identical.
     """
     f32 = jnp.float32
     x = means[:, 0].astype(f32)
@@ -294,6 +302,15 @@ def project_splat_components(
     cb = -cxy / det_safe
     cc = cxx / det_safe
 
+    opacities = opacities.astype(f32)
+    if aa:
+        # mip-splat compensation: ratio of the raw to the dilated 2D
+        # covariance determinant (1 for large splats, -> 0 sub-pixel)
+        det_raw = (cxx - DILATION) * (cyy - DILATION) - cxy * cxy
+        opacities = opacities * jnp.sqrt(
+            jnp.clip(det_raw / det_safe, 0.0, 1.0)
+        )
+
     mid = 0.5 * (cxx + cyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 1e-12)))
@@ -370,13 +387,14 @@ def project_splats(
     height: int,
     sh_degree: int,
     scale_mod=1.0,
+    aa: bool = False,
 ) -> ProjectedSplats:
     """(N, k)-layout projection (oracle-facing wrapper over the component
     form; the fast path consumes SplatComponents directly)."""
     c = project_splat_components(
         means, shs, scales, opacities, rotations, active,
         view, proj_view, cam_pos, tan_fovx, tan_fovy,
-        width, height, sh_degree, scale_mod,
+        width, height, sh_degree, scale_mod, aa=aa,
     )
     return ProjectedSplats(
         mean2d=jnp.stack([c.mx, c.my], -1),

@@ -59,6 +59,7 @@ def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
         mm_bf16=getattr(runtime, "train_mm_bf16", True),
         chunk=getattr(runtime, "train_chunk", 256),
         work_cap=getattr(runtime, "train_work_cap", None),
+        aa=getattr(runtime, "mip_antialias", False),
     )
 
 

@@ -116,7 +116,8 @@ def _default_render(
 
         if runtime is not None:
             return partial(
-                render_tiled, tile=runtime.tile_px, max_dup=runtime.max_dup
+                render_tiled, tile=runtime.tile_px, max_dup=runtime.max_dup,
+                aa=getattr(runtime, "mip_antialias", False),
             )
         return render_tiled
     raise ValueError(f"unknown renderer {kind!r}")
@@ -337,6 +338,7 @@ class Trainer:
                 mm_bf16=getattr(runtime, "train_mm_bf16", True),
                 chunk=getattr(runtime, "train_chunk", 256),
                 work_cap=getattr(runtime, "train_work_cap", None),
+                aa=getattr(runtime, "mip_antialias", False),
             )
         self._step = make_train_step(
             runtime.render_resolution_x,
@@ -461,10 +463,14 @@ class Trainer:
         decay = getattr(self.runtime, "lr_location_decay", 1.0)
         if decay != 1.0:
             # 3DGS-style exponential location-LR schedule (framework knob;
-            # off by default — the reference trains with flat LRs)
+            # off by default — the reference trains with flat LRs).
+            # HOST-side math only: reading the device scalar here
+            # (float(lrs.location)) every iteration raced the in-flight
+            # fused kernel through the axon tunnel and crashed the TPU
+            # worker (reproducibly, 1024^2 north-star runs).
             lrs = lrs._replace(
                 location=jnp.float32(
-                    float(lrs.location) * decay ** self.project.iterations
+                    self.project.lrLocation * decay ** self.project.iterations
                 )
             )
         with jax.profiler.TraceAnnotation("gsplat.train_step"):

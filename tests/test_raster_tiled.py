@@ -450,3 +450,37 @@ def test_work_cap_budget_matches_and_detects_overflow():
 
     _, _, _, _, _, nw2 = run(n_items // 2)  # deliberate overflow
     assert int(nw2) == n_items > n_items // 2  # true count still reported
+
+
+def test_mip_antialias_option():
+    """aa=True (mip-splatting compensation, BEYOND reference parity) keeps
+    tiled == oracle, fades sub-pixel splats, and leaves large splats and
+    the default path untouched."""
+    params = random_splats(40, 7)
+    view, pv, pos, tx, ty = cam_args()
+    bg = jnp.zeros(3, jnp.float32)
+
+    base = render_tiled(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                        tile=TILE, max_dup=2**13, interpret=True)
+    img_aa = render_tiled(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                          tile=TILE, max_dup=2**13, interpret=True, aa=True)
+    oracle_aa = render_oracle(*params, view, pv, pos, tx, ty, W, H, bg, 1,
+                              1.0, row_chunk=16, tile_cull=TILE, aa=True)
+    np.testing.assert_allclose(
+        np.asarray(img_aa), np.asarray(oracle_aa), atol=1e-5
+    )
+    # default path unchanged by the new code path
+    base2 = render_tiled(*params, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+                         tile=TILE, max_dup=2**13, interpret=True, aa=False)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(base2))
+
+    # a sub-pixel splat (tiny world scale) must fade under aa
+    means, shs, scales, opac, rot, active = random_splats(1, 0)
+    tiny = (means, shs, jnp.full_like(scales, 1e-3), jnp.ones_like(opac),
+            rot, active)
+    on = render_tiled(*tiny[:5], tiny[5], view, pv, pos, tx, ty, W, H, bg,
+                      1, 1.0, tile=TILE, max_dup=2**10, interpret=True,
+                      aa=True)
+    off = render_tiled(*tiny[:5], tiny[5], view, pv, pos, tx, ty, W, H, bg,
+                       1, 1.0, tile=TILE, max_dup=2**10, interpret=True)
+    assert float(jnp.max(on)) < 0.5 * max(float(jnp.max(off)), 1e-6)
