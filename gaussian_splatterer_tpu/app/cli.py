@@ -78,9 +78,21 @@ def cmd_train(args):
     def on_step(it, metrics):
         if it % args.log_every == 0:
             rate = (it - last["it"]) / max(time.time() - t0, 1e-9)
+            # cadence countdowns mirror the reference's train panel
+            # (src/ui/tools/UiPanelToolsTrain.cpp:98-107)
+            p = session.project
+            cadence = "  ".join(
+                f"{name} in {iv - (it % iv)}"
+                for name, iv in (
+                    ("capture", p.intervalCapture),
+                    ("densify", p.intervalDensify),
+                )
+                if iv
+            )
             print(
                 f"iter {it}  loss {float(metrics.loss):.6f}  "
-                f"splats {int(session.model.count)}  {rate:.1f} steps/s",
+                f"splats {int(session.model.count)}  {rate:.1f} steps/s"
+                + (f"  [{cadence}]" if cadence else ""),
                 flush=True,
             )
 
