@@ -183,6 +183,11 @@ class RuntimeConfig:
     # instead of aliasing into 0.3-px discs.  BEYOND reference parity;
     # off by default (parity tests stay bit-identical).
     mip_antialias: bool = False
+    # Polynomial exp2-based exp inside the fused train kernel (~30% fewer
+    # VPU ops than the library exp; max relative error 7e-6 — far below
+    # the bf16 cumsum rounding already on this path).  Serve/parity
+    # renders always use the exact exp.
+    train_fast_exp: bool = False
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

@@ -60,6 +60,7 @@ def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
         chunk=getattr(runtime, "train_chunk", 256),
         work_cap=getattr(runtime, "train_work_cap", None),
         aa=getattr(runtime, "mip_antialias", False),
+        fast_exp=getattr(runtime, "train_fast_exp", False),
     )
 
 

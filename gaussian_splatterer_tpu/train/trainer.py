@@ -339,6 +339,7 @@ class Trainer:
                 chunk=getattr(runtime, "train_chunk", 256),
                 work_cap=getattr(runtime, "train_work_cap", None),
                 aa=getattr(runtime, "mip_antialias", False),
+                fast_exp=getattr(runtime, "train_fast_exp", False),
             )
         self._step = make_train_step(
             runtime.render_resolution_x,

@@ -484,3 +484,40 @@ def test_mip_antialias_option():
     off = render_tiled(*tiny[:5], tiny[5], view, pv, pos, tx, ty, W, H, bg,
                        1, 1.0, tile=TILE, max_dup=2**10, interpret=True)
     assert float(jnp.max(on)) < 0.5 * max(float(jnp.max(off)), 1e-6)
+
+
+def test_fast_exp_close_to_exact():
+    """The fused kernel's polynomial exp2 path (train_fast_exp) matches the
+    exact-exp path to ~1e-4 on images/gradients — well below the training
+    path's MC-noise and bf16-cumsum tolerances."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    params = random_splats(60, 13)[:5]
+    active = random_splats(60, 13)[5]
+    rng = np.random.default_rng(2)
+    view, pv, pos, tx, ty = cam_args()
+    views, pvs, poss = view[None], pv[None], jnp.asarray(pos)[None]
+    txs = jnp.asarray(tx, jnp.float32)[None]
+    tys = jnp.asarray(ty, jnp.float32)[None]
+    bgs = jnp.asarray([[0.2, 0.4, 0.1]], jnp.float32)
+    truths = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+
+    def run(fast):
+        return render_train_grads_batch(
+            *params, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
+            tile=TILE, max_dup=2**13, interpret=True, fast_exp=fast,
+        )
+
+    l0, g0, _, r0, _, _ = run(False)
+    l1, g1, _, r1, _, _ = run(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+        )
