@@ -304,7 +304,7 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
     return result, primary_t
 
 
-def render_rtx(
+def render_rtx_sums(
     tris,
     texture,
     cam_location,
@@ -319,7 +319,11 @@ def render_rtx(
     ray_chunk: int = 16384,
     tri_chunk: int = 512,
 ):
-    """Render one truth photograph: (H, W, 3) float32 in [0, 1]."""
+    """One dispatch of ``samples`` paths per pixel: returns the flat
+    (n_pix, 3) color SUM and (n_pix,) orb-overlay mask, so the host can
+    split a capture across several bounded dispatches (one giant
+    all-samples program wedged/killed the tunneled TPU worker at
+    1024^2 x 32 samples — ~19 minutes of queued device time)."""
     background = jnp.asarray(background, jnp.float32)
     cam_location = jnp.asarray(cam_location, jnp.float32)
     n_pix = width * height
@@ -386,9 +390,28 @@ def render_rtx(
         (jnp.zeros((n_pix, 3), jnp.float32), jnp.zeros((n_pix,), bool)),
         keys,
     )
-    color = color / samples
+    return color, orb
+
+
+def finish_rtx(color_sum, orb, samples: int, width: int, height: int):
+    """Combine (possibly multi-dispatch) sample sums into the final image."""
+    color = color_sum / samples
     color = jnp.where(orb[:, None], 1.0 - color, color)
     return color.reshape(height, width, 3)
+
+
+def render_rtx(*args, samples: int = None, width: int = None,
+               height: int = None, **kwargs):
+    """Render one truth photograph: (H, W, 3) float32 in [0, 1].
+
+    Single-dispatch convenience over render_rtx_sums + finish_rtx (the
+    RtxHost production path batches dispatches instead)."""
+    if samples is None or width is None or height is None:
+        raise TypeError("render_rtx requires width=, height=, samples=")
+    color_sum, orb = render_rtx_sums(
+        *args, width=width, height=height, samples=samples, **kwargs
+    )
+    return finish_rtx(color_sum, orb, samples, width, height)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -414,14 +437,19 @@ class RtxHost:
     scene, rebuilds device buffers when geometry or texture changes, renders
     black with no model loaded, mid-gray fallback texture."""
 
-    def __init__(self, tri_chunk: int = 512, ray_chunk: int = 16384):
+    def __init__(self, tri_chunk: int = 512, ray_chunk: int = 16384,
+                 sample_batch: int = 8):
         self.tri_chunk = tri_chunk
         self.ray_chunk = ray_chunk
+        # samples per DISPATCH: one all-samples program at 1024^2 x 32
+        # queued ~19 min of device work and killed the tunneled worker;
+        # batching bounds each dispatch and syncs between them
+        self.sample_batch = sample_batch
         self.mesh: Optional[TriangleMesh] = None
         self._tris = None
         self._texture = jnp.asarray(blank_texture())
         self._render = jax.jit(
-            render_rtx,
+            render_rtx_sums,
             static_argnames=("width", "height", "samples", "bounces",
                             "ray_chunk", "tri_chunk"),
         )
@@ -524,10 +552,22 @@ class RtxHost:
         rc = self.ray_chunk
         while (width * height) % rc:
             rc //= 2
-        return self._render(
-            self._tris, self._texture, camera.location, inv_pv,
-            width=width, height=height, samples=samples,
-            background=jnp.asarray(background, jnp.float32),
-            key=jax.random.PRNGKey(seed), splat_cameras=cams,
-            bounces=bounces, ray_chunk=rc, tri_chunk=self.tri_chunk,
-        )
+        key = jax.random.PRNGKey(seed)
+        color_sum, orb = None, None
+        done = 0
+        while done < samples:
+            b = min(self.sample_batch, samples - done)
+            c, o = self._render(
+                self._tris, self._texture, camera.location, inv_pv,
+                width=width, height=height, samples=b,
+                background=jnp.asarray(background, jnp.float32),
+                key=jax.random.fold_in(key, done), splat_cameras=cams,
+                bounces=bounces, ray_chunk=rc, tri_chunk=self.tri_chunk,
+            )
+            color_sum = c if color_sum is None else color_sum + c
+            orb = o if orb is None else orb | o
+            # sync per batch: bound the queued device work (see
+            # sample_batch) and surface worker faults at the right spot
+            jax.block_until_ready(color_sum)
+            done += b
+        return finish_rtx(color_sum, orb, samples, width, height)

@@ -391,7 +391,10 @@ class Trainer:
         cap = getattr(self.runtime, "train_work_cap", None)
         nw = int(getattr(metrics, "num_work", -1))
         if cap is not None and nw > cap:
-            new_cap = -(-int(nw * 1.25) // 256) * 256
+            # 2x headroom: every growth is a fresh tunnel compile (minutes,
+            # occasionally wedging) — overshoot rather than grow repeatedly
+            # as densify adds splats
+            new_cap = -(-int(nw * 2.0) // 256) * 256
             warnings.warn(
                 f"fused work-list overflow: {nw} items > work_cap={cap}; "
                 f"growing to {new_cap} and recompiling"
@@ -404,7 +407,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def calibrate_work_cap(self, metrics: Optional[TrainMetrics] = None,
-                           slack: float = 1.5) -> bool:
+                           slack: float = 4.0) -> bool:
         """One-time work-list budget calibration: when
         RuntimeConfig.train_work_cap is unset, the fused kernel runs at the
         sound worst-case work-list capacity, which is mostly pad slack
