@@ -144,6 +144,72 @@ def cmd_info(args):
     )
 
 
+def cmd_doctor(args):
+    """Backend health check: numerics gate + a timed micro train step."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatterer_tpu.models.splats import init_field_grid
+    from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_tiled,
+    )
+    from gaussian_splatterer_tpu.train.trainer import (
+        CameraBatch,
+        LearningRates,
+        make_train_step,
+    )
+    from gaussian_splatterer_tpu.models.camera import Camera
+    from gaussian_splatterer_tpu.config import Project
+
+    platform = jax.devices()[0].platform
+    res, tile, cap = 128, 16, 8192
+    host = init_field_grid(cap, 1, 4)  # 17^3 reference grid field
+    model = host.to_device()
+    cam = Camera(np.array([0.3, -0.2, -8.0], np.float32),
+                 np.zeros(3, np.float32), 60.0)
+    view = jnp.asarray(cam.get_view())
+    pv = jnp.asarray(cam.get_proj_view(1.0))
+    tx, ty = cam.tan_fov(res, res, train=True)
+    bg = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+    margs = (model.means, model.shs, model.scales, model.opacities,
+             model.rotations, model.active_mask(), view, pv,
+             jnp.asarray(cam.location), tx, ty, res, res, bg, 1, 1.0)
+    img_t = np.asarray(
+        jax.jit(lambda: render_tiled(*margs, tile=tile, max_dup=2**13))()
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        img_o = np.asarray(render_oracle(*margs, row_chunk=16, tile_cull=tile))
+    err = float(np.max(np.abs(img_t - img_o)))
+    gate_ok = bool(np.isfinite(img_t).all() and err < 2e-2)
+
+    cams = CameraBatch.from_cameras([cam], res, res)
+    truths = jnp.zeros((2, res, res, 3), jnp.float32)
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, tile))(truths)
+    step = make_train_step(res, res, 1, renderer="tiled", fused=True,
+                           fused_opts=dict(tile=tile, max_dup=2**13))
+    lrs = LearningRates.from_project(Project())
+    out = step(model, tt, cams, lrs)  # compile
+    jax.block_until_ready(out[0].means)
+    t0 = time.time()
+    reps = 20
+    outs = [step(model, tt, cams, lrs) for _ in range(reps)]
+    jax.block_until_ready([o[0].means for o in outs])
+    sps = reps / (time.time() - t0)
+    print(json.dumps({
+        "platform": platform,
+        "numerics_gate": "ok" if gate_ok else f"FAILED (max err {err:.2e})",
+        "tiled_vs_oracle_max_err": round(err, 6),
+        "micro_step_per_s": round(sps, 2),
+        "config": f"{res}^2, {cap} splats, tile {tile}",
+    }, indent=2))
+    return 0 if gate_ok else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gsplat-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -197,6 +263,13 @@ def main(argv=None) -> int:
     p_in = sub.add_parser("info", help="print project summary")
     p_in.add_argument("project")
     p_in.set_defaults(fn=cmd_info)
+
+    p_dr = sub.add_parser(
+        "doctor",
+        help="backend health check: tiled-vs-oracle numerics gate + a "
+             "timed micro train step on the attached backend",
+    )
+    p_dr.set_defaults(fn=cmd_doctor)
 
     args = ap.parse_args(argv)
     args.fn(args)

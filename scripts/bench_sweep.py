@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--work-cap", type=int, default=None)
     ap.add_argument("--trace", type=str, default=None)
+    ap.add_argument("--fast-exp", action="store_true")
     args = ap.parse_args()
 
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
@@ -50,7 +51,7 @@ def main():
         loss, grads, var, _, nd, nw = render_train_grads_batch(
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
             tile=args.tile, max_dup=args.max_dup, chunk=args.chunk,
-            mm_bf16=True, work_cap=args.work_cap,
+            mm_bf16=True, work_cap=args.work_cap, fast_exp=args.fast_exp,
         )
         return loss, grads, nd, nw
 

@@ -168,3 +168,17 @@ def test_cli_checkpoint_resume_and_snapshots(obj_path, tmp_path):
     ])
     out = json.load(open(sfile))
     assert out["iterations"] == 5
+
+
+def test_cli_doctor(capsys):
+    """gsplat-tpu doctor: numerics gate + micro step benchmark on the
+    attached backend (NEXT.md robustness item)."""
+    import json as _json
+
+    from gaussian_splatterer_tpu.app.cli import main
+
+    rc = main(["doctor"])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["numerics_gate"] == "ok"
+    assert out["micro_step_per_s"] > 0
