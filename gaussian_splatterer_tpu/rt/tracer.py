@@ -228,11 +228,16 @@ def _unit_sphere(key, shape):
 
 
 def trace_rays(tris, texture, origins, dirs, bounces, background, key,
-               tri_chunk: int):
+               tri_chunk: int, env=None):
     """Trace one batch of primary rays to completion.
 
     origins/dirs: (R, 3).  Returns (color (R, 3), primary_t (R,)) where
-    primary_t is the first-hit distance (inf on miss) for the orb overlay."""
+    primary_t is the first-hit distance (inf on miss) for the orb overlay.
+
+    ``env``: optional (He, We, 3) equirectangular environment map replacing
+    the reference's hard-coded white-gradient sky for BOUNCED miss rays
+    (the RtxDevice.cu:155 TODO; primary misses keep the background color
+    per the reference semantic).  Nearest-neighbor lookup."""
     r = origins.shape[0]
     ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
     dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
@@ -256,8 +261,16 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
         primary_t = jnp.where((i == 0) & jnp.isfinite(t), t, primary_t)
 
         # miss: sky color; never-reflected primary rays get the background
-        sky = jnp.minimum(1.0, 1.0 + dy)
-        miss_color = atten * sky[:, None]
+        if env is None:
+            sky = jnp.minimum(1.0, 1.0 + dy)[:, None]
+        else:
+            eh, ew = env.shape[0], env.shape[1]
+            u = jnp.arctan2(dz, dx) * (0.5 / jnp.pi) + 0.5
+            v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / jnp.pi)
+            exi = jnp.clip((u * ew).astype(jnp.int32), 0, ew - 1)
+            eyi = jnp.clip((v * eh).astype(jnp.int32), 0, eh - 1)
+            sky = env[eyi, exi]
+        miss_color = atten * sky
         miss_out = jnp.where(reflected[:, None], miss_color, background[None, :])
         missed = alive & ~jnp.isfinite(t)
         result = jnp.where(missed[:, None], miss_out, result)
@@ -318,6 +331,7 @@ def render_rtx_sums(
     bounces: int = MAX_BOUNCES,
     ray_chunk: int = 16384,
     tri_chunk: int = 512,
+    env: Optional[jax.Array] = None,
 ):
     """One dispatch of ``samples`` paths per pixel: returns the flat
     (n_pix, 3) color SUM and (n_pix,) orb-overlay mask, so the host can
@@ -364,7 +378,7 @@ def render_rtx_sums(
             o = jnp.broadcast_to(cam_location, (ray_chunk, 3))
             color, primary_t = trace_rays(
                 tris, texture, o, d, bounces, background,
-                jax.random.fold_in(kt, c), tri_chunk,
+                jax.random.fold_in(kt, c), tri_chunk, env,
             )
             color = jnp.clip(color, 0.0, 1.0)
             # orb overlay: primary ray passes near a truth camera, not occluded
@@ -448,6 +462,7 @@ class RtxHost:
         self.mesh: Optional[TriangleMesh] = None
         self._tris = None
         self._texture = jnp.asarray(blank_texture())
+        self._env = None  # optional equirect sky (load_environment)
         self._render = jax.jit(
             render_rtx_sums,
             static_argnames=("width", "height", "samples", "bounces",
@@ -520,10 +535,24 @@ class RtxHost:
         tex = source if isinstance(source, np.ndarray) else load_texture_rgba(source)
         self._texture = jnp.asarray(tex, jnp.float32)
 
+    def load_environment(self, source) -> None:
+        """Equirectangular sky map for bounced miss rays (None resets to
+        the reference's white-gradient sky): (H, W, 3) float array in
+        [0, 1] or an image path."""
+        if source is None:
+            self._env = None
+            return
+        if isinstance(source, (str, bytes)):
+            rgba = load_texture_rgba(source)
+            self._env = jnp.asarray(rgba[..., :3], jnp.float32)
+        else:
+            self._env = jnp.asarray(source, jnp.float32)
+
     def reset(self) -> None:
         self.mesh = None
         self._tris = None
         self._texture = jnp.asarray(blank_texture())
+        self._env = None
 
     # -- render (reference RtxHost::render) -----------------------------
     def render(
@@ -563,6 +592,7 @@ class RtxHost:
                 background=jnp.asarray(background, jnp.float32),
                 key=jax.random.fold_in(key, done), splat_cameras=cams,
                 bounces=bounces, ray_chunk=rc, tri_chunk=self.tri_chunk,
+                env=self._env,
             )
             color_sum = c if color_sum is None else color_sum + c
             orb = o if orb is None else orb | o

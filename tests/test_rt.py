@@ -163,3 +163,37 @@ def test_culled_matches_bruteforce():
         host.load_texture_diffuse(tex)
         imgs.append(render(host, (0.1, 0.2, 0.3), samples=6, seed=5))
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+
+
+def test_environment_map_sky():
+    """Bounced miss rays sample the equirect env map (beyond-parity knob,
+    the RtxDevice.cu:155 sky TODO); primary misses keep the background,
+    and env=None keeps the reference white-gradient sky bit-identical."""
+    import numpy as _np
+
+    bg = (0.1, 0.2, 0.3)
+    host = RtxHost(tri_chunk=8, ray_chunk=RES * RES)
+    host.load_model(quad_mesh())
+    host.load_texture_diffuse(solid_texture(0.5, 0.0, 0.0, 1.0))
+
+    base = np.asarray(render(host, bg, samples=24))
+    host.load_environment(_np.zeros((8, 16, 3), _np.float32))  # black sky
+    dark = np.asarray(render(host, bg, samples=24))
+    red_sky = _np.zeros((8, 16, 3), _np.float32)
+    red_sky[..., 0] = 1.0
+    host.load_environment(red_sky)
+    red = np.asarray(render(host, bg, samples=24))
+    host.load_environment(None)
+    back = np.asarray(render(host, bg, samples=24))
+
+    # env=None round-trips to the reference gradient sky exactly
+    np.testing.assert_allclose(back, base)
+    # primary misses keep the background under any sky
+    corner = np.broadcast_to(np.asarray(bg, np.float32), (3,))
+    np.testing.assert_allclose(dark[0, 0], corner, atol=1e-6)
+    np.testing.assert_allclose(red[0, 0], corner, atol=1e-6)
+    # the lit surface: a black sky darkens it, and a red sky adds NO
+    # green/blue bounce light (albedo is pure red anyway)
+    c = RES // 2
+    assert dark[c, c].sum() <= base[c, c].sum() + 1e-6
+    assert red[c, c, 1] <= base[c, c, 1] + 1e-6
