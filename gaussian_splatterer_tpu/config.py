@@ -188,6 +188,11 @@ class RuntimeConfig:
     # the bf16 cumsum rounding already on this path).  Serve/parity
     # renders always use the exact exp.
     train_fast_exp: bool = False
+    # 3DGS-style periodic opacity reset: every N iterations clamp all
+    # opacities to <= 0.01 so accumulated floaters must re-earn their
+    # weight or drop below the cull threshold.  0 = off (reference
+    # parity: the reference never resets opacity).
+    opacity_reset_interval: int = 0
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

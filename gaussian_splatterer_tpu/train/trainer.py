@@ -492,6 +492,14 @@ class Trainer:
             # densify syncs the host anyway — free moment to check binning
             # overflow and grow the duplicate buffer (recompile) if needed
             self.maybe_grow_dup_buffer(metrics)
+        reset_iv = getattr(self.runtime, "opacity_reset_interval", 0)
+        if reset_iv and self.project.iterations % reset_iv == 0:
+            # 3DGS-style opacity reset (framework knob, off by default —
+            # no reference equivalent): clamp opacities down so floaters
+            # must re-earn their weight or fall to the cull threshold
+            self.model = self.model.replace(
+                opacities=jnp.minimum(self.model.opacities, jnp.float32(0.01))
+            )
         self.last_metrics = metrics
         return metrics
 

@@ -275,3 +275,35 @@ def test_work_cap_calibration_and_overflow_growth():
     assert runtime.train_work_cap >= int(m3.num_work)
     m4 = trainer.train()
     assert np.isfinite(float(m4.loss))
+
+
+def test_opacity_reset_interval():
+    """opacity_reset_interval clamps opacities down on its cadence (3DGS
+    floater control, off by default for reference parity)."""
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+    runtime.splats_capacity = 16
+    runtime.opacity_reset_interval = 2
+
+    h = SplatModelHost(16, 1, 4)
+    for i in range(8):
+        h.push_back(
+            [0.1 * i - 0.4, 0.0, 0.05 * i],
+            rgb_sh([0.6, 0.4, 0.3]), [0.3] * 3, 0.9, [1, 0, 0, 0],
+        )
+    trainer = Trainer(small_project(), runtime, h.to_device(), renderer="tiled")
+    trainer.capture_truths(OracleRtx(target_model(), res=res))
+
+    trainer.train()  # iteration 1: no reset
+    op1 = np.asarray(trainer.model.opacities[:8])
+    assert float(op1.max()) > 0.01
+    trainer.train()  # iteration 2: reset fires
+    op2 = np.asarray(trainer.model.opacities[:8])
+    assert float(op2.max()) <= 0.01 + 1e-7
+
+    runtime.opacity_reset_interval = 0  # off: opacities free to recover
+    trainer.train()
+    assert np.isfinite(float(trainer.last_metrics.loss))
