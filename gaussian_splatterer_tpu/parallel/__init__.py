@@ -11,6 +11,12 @@ from gaussian_splatterer_tpu.parallel.fsdp import (
     shard_model,
     shard_truths_2d,
 )
+from gaussian_splatterer_tpu.parallel.mesh3 import (
+    make_3d_mesh,
+    make_3d_train_step,
+    shard_model_3d,
+    shard_truths_3d,
+)
 from gaussian_splatterer_tpu.parallel.tp import (
     TILE_AXIS,
     make_tile_mesh,
@@ -26,8 +32,12 @@ __all__ = [
     "make_dp_train_step",
     "make_2d_mesh",
     "make_fsdp_train_step",
+    "make_3d_mesh",
+    "make_3d_train_step",
     "make_tile_mesh",
     "make_tp_train_step",
+    "shard_model_3d",
+    "shard_truths_3d",
     "shard_model",
     "shard_truths",
     "shard_truths_2d",

@@ -254,3 +254,46 @@ def test_tp_band_matches_single_device(mesh_shape):
     )
     for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_3d_mesh_matches_single_device():
+    """The full ('camera','tile','splat') composition — camera DP x image
+    bands x ZeRO-3 splat sharding — must equal the single-device fused
+    step exactly (grads, loss, densify-variance)."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        make_3d_train_step,
+        shard_model_3d,
+        shard_truths_3d,
+    )
+
+    res, tile = 128, 16
+    model, cams, truth_tiles = build_scene_fused(res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    single = make_train_step(
+        res, res, 1, renderer="tiled", fused=True,
+        fused_opts=dict(tile=tile, max_dup=2**12,
+                        mm_bf16=runtime.train_mm_bf16),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+
+    mesh = make_3d_mesh(2, 2, 2, devices=jax.devices()[:8])
+    step = make_3d_train_step(mesh, res, res, 1, runtime=runtime)
+    m2, met2 = step(
+        shard_model_3d(mesh, model), shard_truths_3d(mesh, truth_tiles),
+        cams, lrs,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=5e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
