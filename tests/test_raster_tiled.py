@@ -521,3 +521,47 @@ def test_fast_exp_close_to_exact():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
         )
+
+
+def test_all_train_options_compose():
+    """band + work_cap + mip AA + fast_exp together still match the
+    plain-option baseline within fast-exp tolerance (option interactions
+    guard: each knob is tested alone elsewhere)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    W2 = H2 = 64
+    params = random_splats(50, 17)[:5]
+    active = random_splats(50, 17)[5]
+    rng = np.random.default_rng(4)
+    view, pv, pos, tx, ty = cam_args()
+    views, pvs, poss = view[None], pv[None], jnp.asarray(pos)[None]
+    txs = jnp.asarray(tx, jnp.float32)[None]
+    tys = jnp.asarray(ty, jnp.float32)[None]
+    bgs = jnp.asarray([[0.3, 0.2, 0.1]], jnp.float32)
+    truths = jnp.asarray(rng.uniform(0, 1, (1, H2, W2, 3)).astype(np.float32))
+    tt_full = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+    t_per_row = W2 // TILE
+
+    def run_banded(y0, rows, **kw):
+        lo = (int(y0) // TILE) * t_per_row
+        hi = lo + (rows // TILE) * t_per_row
+        return render_train_grads_batch(
+            *params, active, views, pvs, poss, txs, tys, W2, H2,
+            tt_full[:, lo:hi], bgs, 1, tile=TILE, max_dup=2**12,
+            interpret=True, band=(jnp.float32(y0), rows), **kw,
+        )
+
+    opts = dict(aa=True, fast_exp=False, work_cap=None)
+    base = [run_banded(y0, H2 // 2, **opts) for y0 in (0.0, H2 / 2)]
+    opts2 = dict(aa=True, fast_exp=True, work_cap=512)
+    fast = [run_banded(y0, H2 // 2, **opts2) for y0 in (0.0, H2 / 2)]
+    for b, f in zip(base, fast):
+        assert int(f[5]) <= 512, "cap must hold for the test scene"
+        for a, c in zip(jax.tree.leaves(b[1]), jax.tree.leaves(f[1])):
+            scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+            np.testing.assert_allclose(
+                np.asarray(c) / scale, np.asarray(a) / scale, atol=5e-4
+            )
