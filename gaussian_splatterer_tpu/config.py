@@ -188,6 +188,14 @@ class RuntimeConfig:
     # the bf16 cumsum rounding already on this path).  Serve/parity
     # renders always use the exact exp.
     train_fast_exp: bool = False
+    # Evaluate the Gaussian exponent inside the fused train kernel as one
+    # (P, 8) x (8, C) MXU matmul over the per-tile polynomial basis
+    # [x^2, xy, y^2, x, y, 1] instead of ~10 VPU ops per (pixel, splat)
+    # pair — the kernel's items are VPU-bound with MXU to spare.
+    # Expansion rounding is ~|coef| * 2^-23 in the exponent (worst case
+    # ~1e-3 for sub-pixel splats, far below the MC truth noise).  Serve
+    # and parity renders always use the exact two-difference form.
+    train_mm_power: bool = False
     # 3DGS-style periodic opacity reset: every N iterations clamp all
     # opacities to <= 0.01 so accumulated floaters must re-earn their
     # weight or drop below the cull threshold.  0 = off (reference

@@ -136,16 +136,25 @@ def _cumsum_lanes(x: jax.Array, bf16: bool = False) -> jax.Array:
 
 
 def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk: int,
-                 fexp: bool = False):
+                 fexp: bool = False, mm_power: bool = False):
     """Shared forward replay for one (tile, chunk) work item.
 
-    Returns per-(pixel, splat) tensors of shape (P, chunk)."""
+    Returns per-(pixel, splat) tensors of shape (P, chunk).
+
+    ``mm_power=True`` evaluates the Gaussian exponent as ONE (P, 8) x
+    (8, C) MXU matmul instead of ~10 VPU ops per (pixel, splat) pair:
+    power is a quadratic in the pixel coordinates, so expanding it over
+    the per-tile polynomial basis [x^2, xy, y^2, x, y, 1] (TILE-LOCAL
+    coordinates — in global coordinates the expansion cancels
+    catastrophically in f32) with per-splat coefficient rows folds the
+    whole evaluation onto the MXU, which this kernel's VPU-bound items
+    have to spare.  Expansion rounding is ~|coef| * 2^-23 in the exponent
+    (worst case ~1e-3 for sub-pixel splats) — train-path only; serve and
+    parity paths keep the exact two-difference form."""
+    f32 = jnp.float32
     p_count = tile * tile
     ox = (t % tx_tiles) * tile
     oy = (t // tx_tiles) * tile
-    p = jax.lax.broadcasted_iota(jnp.int32, (p_count, 1), 0)
-    px = (ox + p % tile).astype(jnp.float32)
-    py = (oy + p // tile).astype(jnp.float32)
 
     li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     gidx = blk * chunk + li
@@ -158,9 +167,41 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
     cc = feat_ref[_F_CC : _F_CC + 1, :]
     op = feat_ref[_F_OP : _F_OP + 1, :]
 
-    dx = px - mx  # (P, chunk)
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    p = jax.lax.broadcasted_iota(jnp.int32, (p_count, 1), 0)
+    if mm_power:
+        pxl = (p % tile).astype(f32)  # tile-local pixel coords
+        pyl = (p // tile).astype(f32)
+        mxl = mx - ox.astype(f32)  # (1, C) tile-local splat centers
+        myl = my - oy.astype(f32)
+        coef = jnp.concatenate(
+            [
+                -0.5 * ca,
+                -cb,
+                -0.5 * cc,
+                ca * mxl + cb * myl,
+                cc * myl + cb * mxl,
+                -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+                jnp.zeros((2, chunk), f32),
+            ],
+            axis=0,
+        )  # (8, C) — padded to a full sublane tile
+        ones_p = jnp.ones((p_count, 1), f32)
+        basis = jnp.concatenate(
+            [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl, ones_p,
+             jnp.zeros((p_count, 2), f32)],
+            axis=1,
+        )  # (P, 8)
+        # f32 operands: Mosaic lowers this as chained-bf16-pass f32 MXU
+        # passes (exact enough; single-pass bf16 would destroy the
+        # cancellation between the quadratic terms)
+        power = jnp.dot(basis, coef, preferred_element_type=f32)
+        dx = dy = None
+    else:
+        px = (ox + p % tile).astype(f32)
+        py = (oy + p // tile).astype(f32)
+        dx = px - mx  # (P, chunk)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     expp = _exp_v(power, fexp)
     alpha_raw = op * expp
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
@@ -470,6 +511,7 @@ def _train_kernel(
     tiles_frame: int,
     mm_bf16: bool = False,
     fexp: bool = False,
+    mm_power: bool = False,
 ):
     """Fused per-tile forward + residual + backward replay (training path).
 
@@ -506,7 +548,7 @@ def _train_kernel(
         # is elided along with the pass-2 work item).
         a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
             feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-            tx_tiles, chunk, fexp,
+            tx_tiles, chunk, fexp, mm_power,
         )
         ones_p = jnp.ones((p_count, 1), jnp.float32)
         weight, t_k, a_eff, keep, t_out, _alive = _composite_chunk(
@@ -578,7 +620,7 @@ def _train_kernel(
         def _():
             a, _, _, _, _, _, _ = _chunk_state(
                 feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-                tx_tiles, chunk, fexp,
+                tx_tiles, chunk, fexp, mm_power,
             )
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
@@ -645,7 +687,7 @@ def _train_kernel(
         def _():
             a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
                 feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-                tx_tiles, chunk, fexp,
+                tx_tiles, chunk, fexp, mm_power,
             )
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
@@ -735,6 +777,7 @@ def _composite_train_flat(
     interpret: bool,
     mm_bf16: bool = False,
     fexp: bool = False,
+    mm_power: bool = False,
 ):
     """Run the fused train kernel over a flat (possibly multi-frame) work
     list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk)).
@@ -751,7 +794,7 @@ def _composite_train_flat(
     n_slots = seg_slot.shape[0]
     kw = dict(
         tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame,
-        mm_bf16=mm_bf16, fexp=fexp,
+        mm_bf16=mm_bf16, fexp=fexp, mm_power=mm_power,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -820,6 +863,7 @@ def composite_train_tiles(
     max_dup: int,
     interpret: bool,
     mm_bf16: bool = False,
+    mm_power: bool = False,
 ):
     """Fused training composite for ONE frame: one kernel pass produces the
     per-tile signed residual AND the duplicate-feature gradients
@@ -840,7 +884,7 @@ def composite_train_tiles(
         wtf, w2.work_block, w2.slab_pos, w2.seg_slot,
         bins.tile_start, bins.tile_end,
         max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
-        mm_bf16,
+        mm_bf16, mm_power=mm_power,
     )
 
 
@@ -862,6 +906,7 @@ def render_train_grads_batch(
     work_cap: int | None = None,
     aa: bool = False,
     fast_exp: bool = False,
+    mm_power: bool = False,
 ):
     """Frame-BATCHED fused training core: bin all F frames with one vmapped
     (batched-sort) pass and composite them in ONE Pallas launch over a
@@ -995,7 +1040,7 @@ def render_train_grads_batch(
         feat9, truth_flat, bg4, wtf_g, wb_g, sp_g, seg_slot_g,
         bins.tile_start_g, bins.tile_end_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
-        mm_bf16, fast_exp,
+        mm_bf16, fast_exp, mm_power,
     )
     # ---- duplicate-gradient reduction, scatter-free -------------------
     # d_feat16 is per TILE-SORTED duplicate; carry it back to depth/presort

@@ -61,6 +61,7 @@ def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
         work_cap=getattr(runtime, "train_work_cap", None),
         aa=getattr(runtime, "mip_antialias", False),
         fast_exp=getattr(runtime, "train_fast_exp", False),
+        mm_power=getattr(runtime, "train_mm_power", False),
     )
 
 

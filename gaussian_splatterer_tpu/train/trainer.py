@@ -340,6 +340,7 @@ class Trainer:
                 work_cap=getattr(runtime, "train_work_cap", None),
                 aa=getattr(runtime, "mip_antialias", False),
                 fast_exp=getattr(runtime, "train_fast_exp", False),
+                mm_power=getattr(runtime, "train_mm_power", False),
             )
         self._step = make_train_step(
             runtime.render_resolution_x,
@@ -364,7 +365,15 @@ class Trainer:
         max_dup to the next power of two with 25% headroom and recompiles
         the step.  Returns True when the buffer grew.  NOTE: reading
         num_dup syncs the device — call at natural sync points (densify,
-        capture), not every step."""
+        capture), not every step.
+
+        The same call also SHRINKS both buffers when utilization stays
+        below 40% for three consecutive checks (densify culls can drop the
+        duplicate count far below a previously-grown capacity, and every
+        D-sized gradient-reduction op scales with max_dup — PERF.md
+        round-2 buffer-sizing findings).  Hysteresis guards the recompile
+        cost: three low readings, and only when the resized buffer is at
+        most 2/3 of the current one."""
         import warnings
 
         metrics = metrics if metrics is not None else self.last_metrics
@@ -402,8 +411,36 @@ class Trainer:
             self.runtime.train_work_cap = new_cap
             grew = True
         if grew:
+            self._dup_low_streak = 0
+            self._work_low_streak = 0
             self._build_step()
-        return grew
+            return True
+        # ---- auto-shrink (NEXT #9): sustained low utilization ----------
+        chunk = getattr(self.runtime, "train_chunk", 256)
+        if 0 < nd < int(0.4 * self.runtime.max_dup):
+            self._dup_low_streak = getattr(self, "_dup_low_streak", 0) + 1
+        else:
+            self._dup_low_streak = 0
+        if cap is not None and 0 < nw < int(0.4 * cap):
+            self._work_low_streak = getattr(self, "_work_low_streak", 0) + 1
+        else:
+            self._work_low_streak = 0
+        shrunk = False
+        if self._dup_low_streak >= 3:
+            new_max = max(-(-int(nd * 1.25) // chunk) * chunk, 4 * chunk)
+            if new_max <= (2 * self.runtime.max_dup) // 3:
+                self.runtime.max_dup = new_max
+                shrunk = True
+            self._dup_low_streak = 0
+        if self._work_low_streak >= 3:
+            new_cap = max(-(-int(nw * 2.0) // 256) * 256, 256)
+            if new_cap <= (2 * cap) // 3:
+                self.runtime.train_work_cap = new_cap
+                shrunk = True
+            self._work_low_streak = 0
+        if shrunk:
+            self._build_step()
+        return shrunk
 
     # ------------------------------------------------------------------
     def calibrate_work_cap(self, metrics: Optional[TrainMetrics] = None,

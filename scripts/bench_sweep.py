@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--work-cap", type=int, default=None)
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--fast-exp", action="store_true")
+    ap.add_argument("--mm-power", action="store_true")
     args = ap.parse_args()
 
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
@@ -52,6 +53,7 @@ def main():
             *p, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
             tile=args.tile, max_dup=args.max_dup, chunk=args.chunk,
             mm_bf16=True, work_cap=args.work_cap, fast_exp=args.fast_exp,
+            mm_power=args.mm_power,
         )
         return loss, grads, nd, nw
 

@@ -565,3 +565,42 @@ def test_all_train_options_compose():
             np.testing.assert_allclose(
                 np.asarray(c) / scale, np.asarray(a) / scale, atol=5e-4
             )
+
+
+def test_mm_power_close_to_exact():
+    """The fused kernel's MXU-basis exponent path (train_mm_power) matches
+    the exact two-difference VPU path.  In interpret mode the matmul is
+    exact f32, so the only deviation is the polynomial-expansion rounding
+    (~|coef| * 2^-23 in the exponent) — asserted well below the training
+    path's MC-noise tolerance."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    params = random_splats(60, 13)[:5]
+    active = random_splats(60, 13)[5]
+    rng = np.random.default_rng(2)
+    view, pv, pos, tx, ty = cam_args()
+    views, pvs, poss = view[None], pv[None], jnp.asarray(pos)[None]
+    txs = jnp.asarray(tx, jnp.float32)[None]
+    tys = jnp.asarray(ty, jnp.float32)[None]
+    bgs = jnp.asarray([[0.2, 0.4, 0.1]], jnp.float32)
+    truths = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+
+    def run(mm):
+        return render_train_grads_batch(
+            *params, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
+            tile=TILE, max_dup=2**13, interpret=True, mm_power=mm,
+        )
+
+    l0, g0, _, r0, _, _ = run(False)
+    l1, g1, _, r1, _, _ = run(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+        )
