@@ -307,3 +307,60 @@ def test_opacity_reset_interval():
     runtime.opacity_reset_interval = 0  # off: opacities free to recover
     trainer.train()
     assert np.isfinite(float(trainer.last_metrics.loss))
+
+
+def test_buffer_auto_shrink_after_sustained_low_utilization():
+    """NEXT #9: after densify culls drop utilization below 40% for three
+    consecutive sync-point checks, maybe_grow_dup_buffer shrinks max_dup
+    and train_work_cap back down (every D-sized gradient-reduction op
+    scales with max_dup).  One or two low readings must NOT shrink
+    (hysteresis: each resize is a recompile)."""
+    from gaussian_splatterer_tpu.train.trainer import TrainMetrics
+
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 2**14  # oversized for the scene
+    runtime.train_work_cap = 4096
+    runtime.splats_capacity = 16
+
+    h = SplatModelHost(16, 1, 4)
+    for i in range(4):
+        h.push_back(
+            [0.1 * i - 0.2, 0.0, 0.05 * i],
+            rgb_sh([0.6, 0.4, 0.3]), [0.2] * 3, 0.9, [1, 0, 0, 0],
+        )
+    trainer = Trainer(small_project(), runtime, h.to_device(), renderer="tiled")
+
+    def fake_metrics(nd, nw):
+        z = jnp.zeros(())
+        return TrainMetrics(z, z, z, jnp.int32(nd), jnp.int32(nw))
+
+    low = fake_metrics(300, 40)  # well under 40% of both budgets
+    assert not trainer.maybe_grow_dup_buffer(low)
+    assert not trainer.maybe_grow_dup_buffer(low)
+    assert runtime.max_dup == 2**14  # two lows: no shrink yet
+    assert trainer.maybe_grow_dup_buffer(low)  # third consecutive low
+    chunk = runtime.train_chunk
+    assert runtime.max_dup == max(-(-int(300 * 1.25) // chunk) * chunk,
+                                  4 * chunk)
+    assert runtime.train_work_cap == 256
+
+    # a high reading resets the streak
+    runtime.max_dup = 2**14
+    runtime.train_work_cap = 4096
+    trainer._build_step()
+    assert not trainer.maybe_grow_dup_buffer(low)
+    assert not trainer.maybe_grow_dup_buffer(low)
+    busy = fake_metrics(2**13, 3000)
+    assert not trainer.maybe_grow_dup_buffer(busy)  # resets both streaks
+    assert not trainer.maybe_grow_dup_buffer(low)
+    assert not trainer.maybe_grow_dup_buffer(low)
+    assert runtime.max_dup == 2**14
+
+    # training still works on the shrunk buffers
+    assert trainer.maybe_grow_dup_buffer(low)
+    trainer.capture_truths(OracleRtx(target_model(), res=res))
+    m = trainer.train()
+    assert np.isfinite(float(m.loss))
