@@ -205,7 +205,11 @@ def init_field_grid(
     coords = (np.arange(17, dtype=np.float32) * 0.5 - 4.0).astype(np.float32)
     xs, ys, zs = np.meshgrid(coords, coords, coords, indexing="ij")
     pts = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=-1)
-    n = pts.shape[0]
+    # Capacities below 17^3 keep the first slice of the grid (the reference
+    # always has room — SPLATS_LIMIT is 1M, src/Config.h:17; tiny-capacity
+    # runs are this framework's test/CLI convenience, not a parity case).
+    n = min(pts.shape[0], capacity)
+    pts = pts[:n]
     m.means[:n] = pts
     m.scales[:n] = 0.05
     m.opacities[:n] = 1.0
