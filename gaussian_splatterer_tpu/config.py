@@ -201,6 +201,12 @@ class RuntimeConfig:
     # weight or drop below the cull threshold.  0 = off (reference
     # parity: the reference never resets opacity).
     opacity_reset_interval: int = 0
+    # Exponential decay of the densify split/clone variance trigger,
+    # applied as paramDensifyVariance * decay^iterations.  1.0 = off
+    # (reference parity: flat threshold).  Converging fits shrink their
+    # gradients, so a flat trigger stops densifying long before the tail;
+    # ~0.999 keeps growth alive on long runs.
+    densify_variance_decay: float = 1.0
     # 3DGS-style exponential location-LR decay, applied as
     # lrLocation * decay^iterations.  1.0 = off (reference parity: the
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes

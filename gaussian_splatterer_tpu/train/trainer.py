@@ -519,12 +519,26 @@ class Trainer:
                 self.model, self.truths, self.truth_cams, lrs
             )
         if densify_now:
+            dp = DensifyParams.from_project(self.project)
+            vdecay = getattr(self.runtime, "densify_variance_decay", 1.0)
+            if vdecay != 1.0:
+                # anneal the split/clone trigger over training (framework
+                # knob, off by default — the reference threshold is flat):
+                # gradients shrink as the fit converges, so a flat threshold
+                # stops densifying long before the tail.  Host-side math
+                # only, like the LR decay above.
+                dp = dp._replace(
+                    densify_variance=jnp.float32(
+                        self.project.paramDensifyVariance
+                        * vdecay ** self.project.iterations
+                    )
+                )
             with jax.profiler.TraceAnnotation("gsplat.densify"):
                 self.model = densify(
                     self.model,
                     metrics.var_loc,
                     metrics.avg_grad_loc,
-                    DensifyParams.from_project(self.project),
+                    dp,
                 )
             # densify syncs the host anyway — free moment to check binning
             # overflow and grow the duplicate buffer (recompile) if needed

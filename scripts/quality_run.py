@@ -136,6 +136,9 @@ def main():
     ap.add_argument("--lr-location-decay", type=float, default=1.0,
                     help="exponential location-LR decay per iteration "
                          "(3DGS-style; 1.0 = reference-parity flat)")
+    ap.add_argument("--densify-variance-decay", type=float, default=1.0,
+                    help="exponential decay of the densify trigger per "
+                         "iteration (1.0 = reference-parity flat)")
     ap.add_argument("--sh-degree", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
@@ -160,6 +163,7 @@ def main():
         splats_capacity=args.capacity, max_dup=args.max_dup,
         sh_degree=args.sh_degree, sh_coeffs=(args.sh_degree + 1) ** 2,
         lr_location_decay=args.lr_location_decay,
+        densify_variance_decay=args.densify_variance_decay,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:

@@ -364,3 +364,43 @@ def test_buffer_auto_shrink_after_sustained_low_utilization():
     trainer.capture_truths(OracleRtx(target_model(), res=res))
     m = trainer.train()
     assert np.isfinite(float(m.loss))
+
+
+def test_densify_variance_decay_anneals_trigger():
+    """densify_variance_decay lowers the split/clone trigger over time so
+    late-training (small-gradient) splats still densify; 1.0 keeps the
+    flat reference threshold."""
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+    runtime.splats_capacity = 64
+    runtime.densify_variance_decay = 0.5  # aggressive for the test
+
+    h = SplatModelHost(64, 1, 4)
+    for i in range(8):
+        h.push_back(
+            [0.15 * i - 0.5, 0.1 * i - 0.3, 0.05 * i],
+            rgb_sh([0.6, 0.4, 0.3]), [0.25] * 3, 0.9, [1, 0, 0, 0],
+        )
+    p = small_project()
+    # a trigger no real gradient reaches un-annealed
+    p.paramDensifyVariance = 1e6
+    trainer = Trainer(p, runtime, h.to_device(), renderer="tiled")
+    trainer.capture_truths(OracleRtx(target_model(), res=res))
+
+    n0 = trainer.model.count
+    trainer.train(densify_now=True)  # it=1: trigger 5e5 — still unreachable
+    assert int(trainer.model.count) == int(n0)
+    for _ in range(60):  # 0.5^60 * 1e6 ~ 1e-12: everything densifies
+        trainer.project.iterations += 1
+    trainer.train(densify_now=True)
+    assert int(trainer.model.count) > int(n0)
+
+    # decay off: the same huge flat trigger never densifies
+    runtime.densify_variance_decay = 1.0
+    trainer2 = Trainer(p, runtime, h.to_device(), renderer="tiled")
+    trainer2.capture_truths(OracleRtx(target_model(), res=res))
+    trainer2.train(densify_now=True)
+    assert int(trainer2.model.count) <= int(n0) + 0
