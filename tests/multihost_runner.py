@@ -151,11 +151,50 @@ def main():
 
     loss = float(metrics.loss)  # fully replicated -> addressable everywhere
     means_sum = float(jnp_sum_replicated(new_model.means))
+
+    # --- same scene through the full 3-axis ('camera','tile','splat') mesh
+    # spanning both processes: camera x tile x splat = 2 x 2 x 2, so every
+    # collective class (frame psum, band psum, splat all-gather /
+    # reduce-scatter) crosses the process boundary somewhere.
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        make_3d_train_step,
+    )
+    from gaussian_splatterer_tpu.parallel.fsdp import SPLAT_AXIS
+    from gaussian_splatterer_tpu.parallel.tp import TILE_AXIS
+
+    mesh3 = make_3d_mesh(2, 2, 2, jax.devices())
+    model3 = SplatModel(
+        means=as_global2(mesh3, model_np["means"], P(SPLAT_AXIS)),
+        shs=as_global2(mesh3, model_np["shs"], P(SPLAT_AXIS)),
+        scales=as_global2(mesh3, model_np["scales"], P(SPLAT_AXIS)),
+        opacities=as_global2(mesh3, model_np["opacities"], P(SPLAT_AXIS)),
+        rotations=as_global2(mesh3, model_np["rotations"], P(SPLAT_AXIS)),
+        count=as_global2(mesh3, model_np["count"], P()),
+        sh_degree=1,
+    )
+    cams3 = CameraBatch(
+        **{k: as_global2(mesh3, v, P()) for k, v in cams_np.items()}
+    )
+    truths3 = as_global2(
+        mesh3, truth_tiles, P((CAMERA_AXIS, SPLAT_AXIS), TILE_AXIS)
+    )
+    step3 = make_3d_train_step(mesh3, RES, RES, 1, runtime=runtime)
+    new3, metrics3 = step3(model3, truths3, cams3, lrs)
+    jax.block_until_ready((new3, metrics3))
+    loss3 = float(metrics3.loss)
+    means3_repl = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh3, P())
+    )(new3.means)
+    means_sum3 = float(jnp_sum_replicated(means3_repl))
+
     out = {
         "process": pid,
         "global_devices": n_global,
         "loss": loss,
         "means_sum": means_sum,
+        "loss_mesh3": loss3,
+        "means_sum_mesh3": means_sum3,
     }
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as fh:
         json.dump(out, fh)
@@ -167,6 +206,18 @@ def jnp_sum_replicated(x):
     import numpy as np
 
     return np.asarray(x.addressable_data(0)).sum()
+
+
+def as_global2(mesh, arr, spec):
+    """Global array over ``mesh`` from an identical-everywhere numpy value."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+    )
 
 
 if __name__ == "__main__":

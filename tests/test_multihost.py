@@ -99,3 +99,10 @@ def test_two_process_dp_matches_single_controller(tmp_path):
 
     assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-5)
     assert results[0]["means_sum"] == pytest.approx(ref_means_sum, rel=1e-4)
+
+    # the full 3-axis (camera x tile x splat) step ran over the same two
+    # processes — every collective class crossed the process boundary —
+    # and must produce the same training step
+    for r in results:
+        assert r["loss_mesh3"] == pytest.approx(ref_loss, rel=1e-5)
+        assert r["means_sum_mesh3"] == pytest.approx(ref_means_sum, rel=1e-4)
