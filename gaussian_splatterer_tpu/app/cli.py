@@ -119,6 +119,18 @@ def cmd_render(args):
     print(f"wrote {args.output}")
 
 
+def cmd_export(args):
+    session = _make_session(args, require=True)
+    out = args.output
+    if out.endswith(".ply"):
+        session.save_splats_ply(out)
+    elif out.endswith(".html"):
+        session.export_viewer_html(out)
+    else:
+        session.save_splats(out)  # .gobj text (reference-interoperable)
+    print(f"wrote {out}")
+
+
 def cmd_info(args):
     session = _make_session(args, require=True)
     p = session.project
@@ -259,6 +271,18 @@ def main(argv=None) -> int:
     p_re.add_argument("--capacity", type=int)
     p_re.add_argument("--max-dup", type=int, dest="max_dup")
     p_re.set_defaults(fn=cmd_render)
+
+    p_ex = sub.add_parser(
+        "export",
+        help="export splats by extension: .ply (standard 3DGS, ecosystem "
+             "viewers), .html (self-contained viewer), .gobj (reference)",
+    )
+    p_ex.add_argument("project")
+    p_ex.add_argument("output")
+    p_ex.add_argument("--capacity", type=int)
+    p_ex.add_argument("--resolution", type=int)
+    p_ex.add_argument("--max-dup", type=int, dest="max_dup")
+    p_ex.set_defaults(fn=cmd_export)
 
     p_in = sub.add_parser("info", help="print project summary")
     p_in.add_argument("project")

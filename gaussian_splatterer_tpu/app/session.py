@@ -190,6 +190,19 @@ class Session:
     def save_splats(self, path: str) -> None:
         save_gobj(SplatModelHost.from_device(self.model), path)
 
+    def save_splats_ply(self, path: str) -> None:
+        """Standard 3DGS binary PLY export (io/ply.py) — beyond reference
+        parity: drop the trained model straight into ecosystem viewers."""
+        from gaussian_splatterer_tpu.io.ply import save_ply
+
+        save_ply(SplatModelHost.from_device(self.model), path)
+
+    def load_splats_ply(self, path: str) -> None:
+        from gaussian_splatterer_tpu.io.ply import load_ply
+
+        host = load_ply(path, capacity=self.runtime.splats_capacity)
+        self.model = host.to_device()
+
     def load_splats(self, path: str) -> None:
         host = load_gobj(path, capacity=self.runtime.splats_capacity)
         self.model = host.to_device()

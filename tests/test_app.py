@@ -110,6 +110,14 @@ def test_cli_workflow(obj_path, tmp_path):
     ])
     assert os.path.exists(png)
 
+    # splat export by extension: standard 3DGS PLY round-trips the model
+    ply = str(tmp_path / "out.ply")
+    cli_main(["export", proj_dir, ply, "--capacity", "256"])
+    from gaussian_splatterer_tpu.io.ply import load_ply
+
+    back = load_ply(ply)
+    assert back.count >= 1 and back.sh_coeffs == 4
+
 
 def test_auto_train_checkpointing(obj_path, tmp_path):
     s = tiny_session()

@@ -186,3 +186,48 @@ def test_gobj_roundtrip_high_sh_degree(tmp_path, sh_degree):
     assert back.sh_degree == sh_degree
     np.testing.assert_allclose(back.shs[:4], h.shs[:4], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(back.means[:4], h.means[:4], rtol=1e-4, atol=1e-5)
+
+
+def test_ply_roundtrip_inria_layout(tmp_path):
+    """Standard 3DGS binary PLY export/import (io/ply.py): INRIA field
+    layout with logit-opacity / log-scale / channel-major f_rest baked in,
+    so the file drops straight into ecosystem viewers.  Round-trip must
+    recover the model up to the activation transforms' float error."""
+    from gaussian_splatterer_tpu.io.ply import load_ply, save_ply
+
+    rng = np.random.default_rng(7)
+    for degree in (1, 2):
+        k = (degree + 1) ** 2
+        n = 23
+        h = SplatModelHost(64, degree, k)
+        h.means[:n] = rng.uniform(-2, 2, (n, 3))
+        h.shs[:n] = rng.normal(0, 0.5, (n, k, 3))
+        h.scales[:n] = rng.uniform(0.01, 0.4, (n, 3))
+        h.opacities[:n] = rng.uniform(0.05, 0.95, n)
+        h.rotations[:n] = rng.normal(0, 1, (n, 4))
+        h.count = n
+
+        path = str(tmp_path / f"model_d{degree}.ply")
+        save_ply(h, path)
+        back = load_ply(path)
+        assert back.count == n
+        assert back.sh_degree == degree and back.sh_coeffs == k
+        np.testing.assert_allclose(back.means[:n], h.means[:n], atol=1e-6)
+        np.testing.assert_allclose(back.shs[:n], h.shs[:n], atol=1e-6)
+        np.testing.assert_allclose(back.scales[:n], h.scales[:n], rtol=1e-5)
+        np.testing.assert_allclose(
+            back.opacities[:n], h.opacities[:n], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            back.rotations[:n], h.rotations[:n], atol=1e-6
+        )
+
+        # header is the INRIA property list (ecosystem loaders key on it)
+        head = open(path, "rb").read(4000).decode("ascii", "ignore")
+        assert "property float f_dc_0" in head
+        assert f"f_rest_{3 * (k - 1) - 1}" in head
+        assert "property float opacity" in head
+
+    # capacity growth mirrors the .gobj loader
+    big = load_ply(path, capacity=256)
+    assert big.capacity == 256 and big.count == n
