@@ -11,6 +11,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Optional, TextIO
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,40 @@ def mse(a, b) -> jnp.ndarray:
 def psnr(a, b, max_val: float = 1.0) -> jnp.ndarray:
     m = mse(a, b)
     return 10.0 * jnp.log10(max_val**2 / jnp.maximum(m, 1e-12))
+
+
+def ssim(a, b, max_val: float = 1.0, win: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Structural similarity (Wang et al. 2004) with the standard 11x11
+    gaussian window — the quality metric 3DGS papers report alongside PSNR
+    (the reference reports neither; SURVEY §5).  a, b: (H, W, 3) in
+    [0, max_val].  Pure jnp (separable depthwise convolutions)."""
+    a = jnp.asarray(a, jnp.float32) / max_val
+    b = jnp.asarray(b, jnp.float32) / max_val
+    r = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    g = jnp.exp(-0.5 * (r / sigma) ** 2)
+    g = g / jnp.sum(g)
+
+    def blur(x):  # separable gaussian filter, valid padding, per channel
+        x = jnp.moveaxis(x, -1, 0)[:, None]  # (C, 1, H, W)
+        kh = g.reshape(1, 1, win, 1)
+        kw = g.reshape(1, 1, 1, win)
+        for k in (kh, kw):
+            x = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "VALID",
+                feature_group_count=1,
+            )
+        return x[:, 0]  # (C, H', W')
+
+    c1 = 0.01**2
+    c2 = 0.03**2
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a * mu_a
+    var_b = blur(b * b) - mu_b * mu_b
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s)
 
 
 @dataclass

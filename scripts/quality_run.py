@@ -27,7 +27,7 @@ from gaussian_splatterer_tpu.config import Project, RuntimeConfig
 from gaussian_splatterer_tpu.io.image import save_png
 from gaussian_splatterer_tpu.io.obj import TriangleMesh
 from gaussian_splatterer_tpu.models.camera import Camera
-from gaussian_splatterer_tpu.utils.metrics import psnr
+from gaussian_splatterer_tpu.utils.metrics import psnr, ssim
 
 CROSS_OBJ_VERTS = np.array(
     [
@@ -205,11 +205,13 @@ def main():
     randomize_rig_rotations(s.project)
     cams = Camera.get_cameras(s.project)[:4]
     psnrs = []
+    ssims = []
     os.makedirs(args.out, exist_ok=True)
     for i, cam in enumerate(cams):
         truth = s.rtx.render(cam, (0, 0, 0), args.samples, args.res, args.res)
         pred = s.trainer.render(cam, args.res, args.res)
         psnrs.append(float(psnr(truth, jnp.clip(pred, 0, 1))))
+        ssims.append(float(ssim(truth, jnp.clip(pred, 0, 1))))
         if i == 0:
             save_png(np.asarray(truth), os.path.join(args.out, "truth.png"))
             save_png(np.asarray(jnp.clip(pred, 0, 1)),
@@ -221,6 +223,7 @@ def main():
         "final_splats": int(s.model.count),
         "psnr_mean": round(float(np.mean(psnrs)), 2),
         "psnr_per_view": [round(p, 2) for p in psnrs],
+        "ssim_mean": round(float(np.mean(ssims)), 4),
         "train_time_s": round(train_time, 1),
     }
     with open(os.path.join(args.out, "result.json"), "w") as fh:

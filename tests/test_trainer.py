@@ -404,3 +404,45 @@ def test_densify_variance_decay_anneals_trigger():
     trainer2.capture_truths(OracleRtx(target_model(), res=res))
     trainer2.train(densify_now=True)
     assert int(trainer2.model.count) <= int(n0) + 0
+
+
+def test_ssim_matches_naive_reference():
+    """ssim (separable jnp convolutions) against a direct sliding-window
+    NumPy evaluation of the Wang et al. formula, plus the standard
+    sanity properties."""
+    from gaussian_splatterer_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (20, 20, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+
+    win, sigma = 11, 1.5
+    r = np.arange(win) - (win - 1) / 2.0
+    g = np.exp(-0.5 * (r / sigma) ** 2)
+    g /= g.sum()
+    w = np.outer(g, g)  # (11, 11)
+
+    def naive(x, y):
+        h, wd, c = x.shape
+        vals = []
+        for ch in range(c):
+            for i in range(h - win + 1):
+                for j in range(wd - win + 1):
+                    pa = x[i : i + win, j : j + win, ch]
+                    pb = y[i : i + win, j : j + win, ch]
+                    mu_a = (w * pa).sum()
+                    mu_b = (w * pb).sum()
+                    va = (w * pa * pa).sum() - mu_a**2
+                    vb = (w * pb * pb).sum() - mu_b**2
+                    cov = (w * pa * pb).sum() - mu_a * mu_b
+                    c1, c2 = 0.01**2, 0.03**2
+                    vals.append(
+                        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+                    )
+        return float(np.mean(vals))
+
+    np.testing.assert_allclose(float(ssim(a, b)), naive(a, b), atol=1e-5)
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-6)
+    big = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    assert float(ssim(a, b)) > float(ssim(a, big))
