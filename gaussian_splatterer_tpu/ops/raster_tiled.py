@@ -851,43 +851,6 @@ def _composite_train_flat(
     return res8, d_feat9
 
 
-def composite_train_tiles(
-    feat9: jax.Array,
-    truth_tiles: jax.Array,  # (T, 8, P) channel-major (image_to_tiles_cm)
-    background: jax.Array,  # (3,)
-    bins: TileBins,
-    num_tiles: int,
-    tile: int,
-    tx_tiles: int,
-    chunk: int,
-    max_dup: int,
-    interpret: bool,
-    mm_bf16: bool = False,
-    mm_power: bool = False,
-):
-    """Fused training composite for ONE frame: one kernel pass produces the
-    per-tile signed residual AND the duplicate-feature gradients
-    (g := residual).
-
-    Returns (res8 (T, 8, P) rows [residual rgb, t_final], d_feat9 (9, D)).
-    Gradients are returned as data, not via autodiff — chain them through
-    the projection with jax.vjp at the call site."""
-    from gaussian_splatterer_tpu.ops.binning import make_two_pass_worklist
-
-    w2 = make_two_pass_worklist(
-        bins.tile_start, bins.tile_end, num_tiles, max_dup, chunk
-    )
-    bg4 = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(background)
-    wtf = (w2.work_tile << _FL_BITS) | _worklist_flags(w2)
-    return _composite_train_flat(
-        feat9, truth_tiles, bg4,
-        wtf, w2.work_block, w2.slab_pos, w2.seg_slot,
-        bins.tile_start, bins.tile_end,
-        max_dup // chunk, tile, tx_tiles, chunk, num_tiles, interpret,
-        mm_bf16, mm_power=mm_power,
-    )
-
-
 def render_train_grads_batch(
     means, shs, scales, opacities, rotations, active,
     views, proj_views, cam_posns, tan_fovxs, tan_fovys,  # (F, ...) stacks

@@ -526,7 +526,8 @@ def test_fast_exp_close_to_exact():
 def test_all_train_options_compose():
     """band + work_cap + mip AA + fast_exp together still match the
     plain-option baseline within fast-exp tolerance (option interactions
-    guard: each knob is tested alone elsewhere)."""
+    guard: each knob is tested alone elsewhere; mm_power rides along on
+    the fast side too)."""
     from gaussian_splatterer_tpu.ops.raster_tiled import (
         image_to_tiles_cm,
         render_train_grads_batch,
@@ -556,7 +557,7 @@ def test_all_train_options_compose():
 
     opts = dict(aa=True, fast_exp=False, work_cap=None)
     base = [run_banded(y0, H2 // 2, **opts) for y0 in (0.0, H2 / 2)]
-    opts2 = dict(aa=True, fast_exp=True, work_cap=512)
+    opts2 = dict(aa=True, fast_exp=True, work_cap=512, mm_power=True)
     fast = [run_banded(y0, H2 // 2, **opts2) for y0 in (0.0, H2 / 2)]
     for b, f in zip(base, fast):
         assert int(f[5]) <= 512, "cap must hold for the test scene"
