@@ -35,10 +35,13 @@ def main():
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--fast-exp", action="store_true")
     ap.add_argument("--mm-power", action="store_true")
+    ap.add_argument("--n-splats", type=int, default=N_SPLATS,
+                    help="scene scale (capacity rounds up to a power of two)")
     args = ap.parse_args()
 
+    capacity = max(CAPACITY, 1 << (args.n_splats - 1).bit_length())
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
-        N_SPLATS, CAPACITY, W, H, args.frames
+        args.n_splats, capacity, W, H, args.frames
     )
     rng = np.random.default_rng(1)
     truths = jnp.asarray(
