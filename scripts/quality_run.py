@@ -136,6 +136,9 @@ def main():
     ap.add_argument("--lr-location-decay", type=float, default=1.0,
                     help="exponential location-LR decay per iteration "
                          "(3DGS-style; 1.0 = reference-parity flat)")
+    ap.add_argument("--mip-aa", action="store_true",
+                    help="train AND serve with mip-splatting anti-aliasing "
+                         "(RuntimeConfig.mip_antialias)")
     ap.add_argument("--densify-variance-decay", type=float, default=1.0,
                     help="exponential decay of the densify trigger per "
                          "iteration (1.0 = reference-parity flat)")
@@ -164,6 +167,7 @@ def main():
         sh_degree=args.sh_degree, sh_coeffs=(args.sh_degree + 1) ** 2,
         lr_location_decay=args.lr_location_decay,
         densify_variance_decay=args.densify_variance_decay,
+        mip_antialias=args.mip_aa,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:
