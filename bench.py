@@ -122,8 +122,50 @@ def numerics_gate():
     return err
 
 
+def gate_kernel_options():
+    """Compile + numerics check of the optional train-kernel fast paths
+    (train_mm_power, train_fast_exp) ON THE REAL CHIP, against the default
+    train path at the same scale.  Interpret-mode parity is covered by the
+    test suite; this catches Mosaic-lowering and TPU-precision regressions
+    (e.g. a small-K dot the compiler mishandles).  Non-fatal: the headline
+    timing uses the measured default path either way."""
+    params, active, views, pvs, poss, txs, tys, _ = build_scene(
+        GATE_SPLATS, 256, GATE_RES, GATE_RES, 2, seed=11
+    )
+    rng = np.random.default_rng(3)
+    truths = jnp.asarray(
+        rng.uniform(0, 1, (2, GATE_RES, GATE_RES, 3)).astype(np.float32)
+    )
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, 32))(truths)
+    bgs = jnp.zeros((2, 3), jnp.float32)
+
+    def run(**kw):
+        loss, grads, _, _, _, _ = jax.jit(
+            lambda p, t: render_train_grads_batch(
+                *p, active, views, pvs, poss, txs, tys,
+                GATE_RES, GATE_RES, t, bgs, 1,
+                tile=32, max_dup=2**13, **kw,
+            )
+        )(params, tt)
+        return float(loss), jax.tree.map(np.asarray, grads)
+
+    try:
+        l0, g0 = run()
+        l1, g1 = run(mm_power=True, fast_exp=True)
+        if not np.isfinite(l1) or abs(l1 - l0) > 1e-3 * max(abs(l0), 1e-6):
+            return f"loss mismatch: {l0} vs {l1}"
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            scale = max(1e-3, float(np.max(np.abs(a))))
+            if not np.isfinite(b).all() or np.max(np.abs(a - b)) / scale > 5e-3:
+                return f"grad deviation {np.max(np.abs(a - b)) / scale:.1e}"
+        return "ok"
+    except Exception as e:  # Mosaic compile errors etc.
+        return f"failed: {type(e).__name__}: {e}"[:200]
+
+
 def main():
     gate_err = numerics_gate()
+    opt_gate = gate_kernel_options()
 
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
         N_SPLATS, CAPACITY, W, H, FRAMES
@@ -163,6 +205,7 @@ def main():
                 "unit": "ms/frame",
                 "vs_baseline": round(REFERENCE_FRAME_BUDGET_MS / ms_per_frame, 4),
                 "numerics_gate_max_err": round(gate_err, 5),
+                "kernel_options_gate": opt_gate,
             }
         )
     )
