@@ -96,21 +96,29 @@ def mushroom_mesh(n_theta=48, n_prof=24):
     )
 
 
-def mushroom_texture(n=128):
-    """Red-capped, spotted mushroom texture over the (theta, profile) UV."""
+def mushroom_texture(n=128, spot_alpha=1.0):
+    """Red-capped, spotted mushroom texture over the (theta, profile) UV.
+
+    ``spot_alpha < 1`` makes the cap spots semi-transparent, exercising the
+    tracer's stochastic alpha (reference RtxDevice.cu:128-143) end-to-end:
+    the splat model must learn partially-see-through regions from the
+    dual-background supervision."""
     t = np.zeros((n, n, 4), np.float32)
     v = np.linspace(0, 1, n)[:, None]  # profile coordinate (rows)
     t[..., 0] = np.where(v > 0.45, 0.85, 0.93)
     t[..., 1] = np.where(v > 0.45, 0.12, 0.87)
     t[..., 2] = np.where(v > 0.45, 0.10, 0.72)
     rng = np.random.default_rng(5)
+    spots = np.zeros((n, n), bool)
     for _ in range(25):  # white spots on the cap
         cy = rng.uniform(0.55, 0.95) * n
         cx = rng.uniform(0, 1) * n
         yy, xx = np.mgrid[0:n, 0:n]
         d2 = (yy - cy) ** 2 + (np.minimum(np.abs(xx - cx), n - np.abs(xx - cx))) ** 2
-        t[d2 < (n * 0.035) ** 2, 0:3] = 0.95
-    t[..., 3] = 1.0
+        spot = d2 < (n * 0.035) ** 2
+        t[spot, 0:3] = 0.95
+        spots |= spot
+    t[..., 3] = np.where(spots, spot_alpha, 1.0)
     return t
 
 
@@ -136,6 +144,9 @@ def main():
     ap.add_argument("--lr-location-decay", type=float, default=1.0,
                     help="exponential location-LR decay per iteration "
                          "(3DGS-style; 1.0 = reference-parity flat)")
+    ap.add_argument("--spot-alpha", type=float, default=1.0,
+                    help="alpha of the mushroom cap spots (<1 exercises "
+                         "stochastic transparency end-to-end)")
     ap.add_argument("--mip-aa", action="store_true",
                     help="train AND serve with mip-splatting anti-aliasing "
                          "(RuntimeConfig.mip_antialias)")
@@ -177,7 +188,7 @@ def main():
         s.init_field("model")
     elif args.scene == "mushroom":
         s.rtx.load_model(mushroom_mesh(args.mesh_res, max(args.mesh_res // 2, 6)))
-        s.rtx.load_texture_diffuse(mushroom_texture())
+        s.rtx.load_texture_diffuse(mushroom_texture(spot_alpha=args.spot_alpha))
         s.init_field("model")
     else:
         s.rtx.load_model(TriangleMesh(CROSS_OBJ_VERTS, CROSS_TRIS, CROSS_UV))

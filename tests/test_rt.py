@@ -197,3 +197,20 @@ def test_environment_map_sky():
     c = RES // 2
     assert dark[c, c].sum() <= base[c, c].sum() + 1e-6
     assert red[c, c, 1] <= base[c, c, 1] + 1e-6
+
+
+def test_partial_alpha_stochastic_mix():
+    """texture.w = 0.5 (reference stochastic transparency,
+    RtxDevice.cu:128-143): each sample's primary ray hits the black quad
+    with p=0.5 and passes to the background otherwise, so the rendered
+    pixel converges to 0.5*bg + 0.5*surface_contribution.  With a black
+    surface (zero attenuation) the expectation is exactly bg/2."""
+    host = RtxHost(tri_chunk=8, ray_chunk=RES * RES)
+    host.load_model(quad_mesh())
+    host.load_texture_diffuse(solid_texture(0.0, 0.0, 0.0, a=0.5))
+    bg = (0.8, 0.4, 0.2)
+    img = render(host, bg, samples=400, seed=5)
+    c = img[RES // 2, RES // 2]
+    # 400 Bernoulli samples: sigma = 0.5/sqrt(400) = 0.025 per channel
+    np.testing.assert_allclose(c, np.asarray(bg) * 0.5, atol=0.1)
+    assert 0.05 < c[0] < 0.75  # genuinely mixed, neither pure bg nor black
