@@ -421,7 +421,10 @@ class Trainer:
             self._dup_low_streak = getattr(self, "_dup_low_streak", 0) + 1
         else:
             self._dup_low_streak = 0
-        if cap is not None and 0 < nw < int(0.4 * cap):
+        # work-cap low bar is 20%, NOT 40%: calibrate_work_cap sizes the
+        # budget at 4x slack (25% steady utilization), which must not read
+        # as "low" three steps later and churn a pointless recompile
+        if cap is not None and 0 < nw < int(0.2 * cap):
             self._work_low_streak = getattr(self, "_work_low_streak", 0) + 1
         else:
             self._work_low_streak = 0

@@ -311,10 +311,12 @@ def test_opacity_reset_interval():
 
 def test_buffer_auto_shrink_after_sustained_low_utilization():
     """NEXT #9: after densify culls drop utilization below 40% for three
-    consecutive sync-point checks, maybe_grow_dup_buffer shrinks max_dup
-    and train_work_cap back down (every D-sized gradient-reduction op
-    scales with max_dup).  One or two low readings must NOT shrink
-    (hysteresis: each resize is a recompile)."""
+    consecutive sync-point checks (40% for the duplicate buffer, 20% for
+    the work-list budget — calibrate_work_cap's 4x slack sits at 25% and
+    must not churn), maybe_grow_dup_buffer shrinks max_dup and
+    train_work_cap back down (every D-sized gradient-reduction op scales
+    with max_dup).  One or two low readings must NOT shrink (hysteresis:
+    each resize is a recompile)."""
     from gaussian_splatterer_tpu.train.trainer import TrainMetrics
 
     res, tile = 64, 16
@@ -337,7 +339,7 @@ def test_buffer_auto_shrink_after_sustained_low_utilization():
         z = jnp.zeros(())
         return TrainMetrics(z, z, z, jnp.int32(nd), jnp.int32(nw))
 
-    low = fake_metrics(300, 40)  # well under 40% of both budgets
+    low = fake_metrics(300, 40)  # under 40% (dup) / 20% (work) of budgets
     assert not trainer.maybe_grow_dup_buffer(low)
     assert not trainer.maybe_grow_dup_buffer(low)
     assert runtime.max_dup == 2**14  # two lows: no shrink yet
@@ -353,6 +355,15 @@ def test_buffer_auto_shrink_after_sustained_low_utilization():
     trainer._build_step()
     assert not trainer.maybe_grow_dup_buffer(low)
     assert not trainer.maybe_grow_dup_buffer(low)
+    # 25% work utilization (the calibrated steady state) must NOT count
+    # as low even while the dup buffer reads low
+    calib = fake_metrics(300, 1024)
+    for _ in range(3):
+        trainer.maybe_grow_dup_buffer(calib)
+    assert runtime.train_work_cap == 4096  # dup shrank, work cap did not
+    runtime.max_dup = 2**14
+    trainer._build_step()
+
     busy = fake_metrics(2**13, 3000)
     assert not trainer.maybe_grow_dup_buffer(busy)  # resets both streaks
     assert not trainer.maybe_grow_dup_buffer(low)
