@@ -141,9 +141,15 @@ class Session:
             # the work-list budget to the measured item count (one-time;
             # self-guarded once train_work_cap is set).
             self.trainer.calibrate_work_cap(metrics)
-            if self.project.intervalCapture and it % max(
-                self.project.intervalCapture, 1
-            ) == 0:
+            # fall back to every 100 iters when BOTH cadences are disabled
+            # (e.g. capture-once runs) — otherwise a growing scene could
+            # overflow the duplicate buffer with no check ever firing
+            check_iv = (
+                self.project.intervalCapture
+                or self.project.intervalDensify
+                or 100
+            )
+            if it % max(check_iv, 1) == 0:
                 self.trainer.maybe_grow_dup_buffer(metrics)
             if on_step is not None:
                 on_step(it, metrics)

@@ -379,6 +379,13 @@ class Trainer:
         metrics = metrics if metrics is not None else self.last_metrics
         if metrics is None:
             return False
+        # one check per training iteration: densify-time and session-cadence
+        # callers can both fire on the same step, and a duplicated reading
+        # must not double-advance the shrink hysteresis streaks
+        it = self.project.iterations
+        if getattr(self, "_last_buffer_check_it", None) == it:
+            return False
+        self._last_buffer_check_it = it
         grew = False
         nd = int(metrics.num_dup)
         if nd > self.runtime.max_dup:

@@ -339,11 +339,19 @@ def test_buffer_auto_shrink_after_sustained_low_utilization():
         z = jnp.zeros(())
         return TrainMetrics(z, z, z, jnp.int32(nd), jnp.int32(nw))
 
+    def check(m):
+        # one check per iteration (densify + session cadences dedupe)
+        trainer.project.iterations += 1
+        return trainer.maybe_grow_dup_buffer(m)
+
     low = fake_metrics(300, 40)  # under 40% (dup) / 20% (work) of budgets
+    assert not check(low)
+    # a REPEATED reading on the same iteration must not advance the streak
     assert not trainer.maybe_grow_dup_buffer(low)
     assert not trainer.maybe_grow_dup_buffer(low)
+    assert not check(low)
     assert runtime.max_dup == 2**14  # two lows: no shrink yet
-    assert trainer.maybe_grow_dup_buffer(low)  # third consecutive low
+    assert check(low)  # third consecutive low
     chunk = runtime.train_chunk
     assert runtime.max_dup == max(-(-int(300 * 1.25) // chunk) * chunk,
                                   4 * chunk)
@@ -359,19 +367,19 @@ def test_buffer_auto_shrink_after_sustained_low_utilization():
     # as low even while the dup buffer reads low
     calib = fake_metrics(300, 1024)
     for _ in range(3):
-        trainer.maybe_grow_dup_buffer(calib)
+        check(calib)
     assert runtime.train_work_cap == 4096  # dup shrank, work cap did not
     runtime.max_dup = 2**14
     trainer._build_step()
 
     busy = fake_metrics(2**13, 3000)
-    assert not trainer.maybe_grow_dup_buffer(busy)  # resets both streaks
-    assert not trainer.maybe_grow_dup_buffer(low)
-    assert not trainer.maybe_grow_dup_buffer(low)
+    assert not check(busy)  # resets both streaks
+    assert not check(low)
+    assert not check(low)
     assert runtime.max_dup == 2**14
 
     # training still works on the shrunk buffers
-    assert trainer.maybe_grow_dup_buffer(low)
+    assert check(low)
     trainer.capture_truths(OracleRtx(target_model(), res=res))
     m = trainer.train()
     assert np.isfinite(float(m.loss))
