@@ -150,6 +150,10 @@ def gate_kernel_options():
         return float(loss), jax.tree.map(np.asarray, grads)
 
     try:
+        # strict option-numerics check in f32 (bf16 cumsums round each
+        # path's slightly-different inputs independently, inflating the
+        # diff ~10x past the options' true effect — measured 8.8e-3 vs
+        # 5e-4 in f32)
         l0, g0 = run()
         l1, g1 = run(mm_power=True, fast_exp=True)
         if not np.isfinite(l1) or abs(l1 - l0) > 1e-3 * max(abs(l0), 1e-6):
@@ -158,6 +162,13 @@ def gate_kernel_options():
             scale = max(1e-3, float(np.max(np.abs(a))))
             if not np.isfinite(b).all() or np.max(np.abs(a - b)) / scale > 5e-3:
                 return f"grad deviation {np.max(np.abs(a - b)) / scale:.1e}"
+        # then the full PRODUCTION composition (bf16 cumsums + both
+        # options): compile + finite + loss sanity on the real chip
+        lb, gb = run(mm_bf16=True, mm_power=True, fast_exp=True)
+        if not np.isfinite(lb) or abs(lb - l0) > 0.05 * max(abs(l0), 1e-6):
+            return f"bf16 composition loss mismatch: {l0} vs {lb}"
+        if not all(np.isfinite(g).all() for g in jax.tree.leaves(gb)):
+            return "bf16 composition produced non-finite gradients"
         return "ok"
     except Exception as e:  # Mosaic compile errors etc.
         return f"failed: {type(e).__name__}: {e}"[:200]

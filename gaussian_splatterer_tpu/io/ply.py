@@ -80,18 +80,37 @@ def load_ply(path: str, capacity: int | None = None) -> SplatModelHost:
             if not ch:
                 raise ValueError(f"{path}: truncated PLY header")
             header += ch
-        lines = header.decode("ascii").splitlines()
-        if "format binary_little_endian 1.0" not in lines[1]:
+        lines = header.decode("ascii", "replace").splitlines()
+        if not any(ln.strip() == "format binary_little_endian 1.0" for ln in lines):
             raise ValueError(f"{path}: only binary little-endian PLY supported")
+        # track elements: comments/obj_info are skipped, and property lines
+        # are only validated/collected for the VERTEX element (ecosystem
+        # writers add comment lines and sometimes an empty face element)
         n = None
         props = []
+        current = None
         for ln in lines:
-            if ln.startswith("element vertex "):
-                n = int(ln.split()[-1])
-            elif ln.startswith("property float "):
-                props.append(ln.split()[-1])
-            elif ln.startswith("property "):
-                raise ValueError(f"{path}: non-float property {ln!r}")
+            ln = ln.strip()
+            if ln.startswith(("comment", "obj_info")) or not ln:
+                continue
+            if ln.startswith("element "):
+                parts = ln.split()
+                current = parts[1]
+                if current == "vertex":
+                    if n is not None:
+                        raise ValueError(f"{path}: multiple vertex elements")
+                    n = int(parts[2])
+                elif n is None:
+                    raise ValueError(
+                        f"{path}: element {current!r} precedes vertex data"
+                    )
+            elif ln.startswith("property ") and current == "vertex":
+                parts = ln.split()
+                if parts[1] != "float":
+                    raise ValueError(
+                        f"{path}: non-float vertex property {ln!r}"
+                    )
+                props.append(parts[-1])
         if n is None:
             raise ValueError(f"{path}: no vertex element")
         data = np.frombuffer(

@@ -194,7 +194,11 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
         # f32 operands: Mosaic lowers this as chained-bf16-pass f32 MXU
         # passes (exact enough; single-pass bf16 would destroy the
         # cancellation between the quadratic terms)
-        power = jnp.dot(basis, coef, preferred_element_type=f32)
+        # the exact two-difference power is <= 0 everywhere (PSD conic);
+        # expansion rounding (~|coef| * 2^-23) must not push a splat's
+        # brightest pixel to +eps and trip the `power <= 0` contrib gate
+        # into dropping its full alpha
+        power = jnp.minimum(jnp.dot(basis, coef, preferred_element_type=f32), 0.0)
         dx = dy = None
     else:
         px = (ox + p % tile).astype(f32)

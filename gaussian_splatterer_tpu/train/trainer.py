@@ -308,14 +308,20 @@ class Trainer:
         self.truths: Optional[jax.Array] = None  # (2F, H, W, 3) or tiled
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
-        if render_fn is None:
-            self._render_fn = _default_render(renderer, row_chunk, runtime)
         self._build_step()
 
     def _build_step(self) -> None:
         """(Re)build the jitted step from the current RuntimeConfig —
         called at construction and when maybe_grow_dup_buffer recompiles."""
         runtime = self.runtime
+        if not self._user_render:
+            # the serve-path renderer bakes tile/max_dup/aa into a partial;
+            # buffer grow/shrink mutates runtime.max_dup, so a stale partial
+            # would silently drop the deepest duplicates on Trainer.render
+            # (previews, PSNR eval, snapshots) after an auto-grow
+            self._render_fn = _default_render(
+                self.renderer, self.row_chunk, runtime
+            )
         # tile-space fast path: train against pre-tiled truths so the step
         # never assembles (H, W) images (saves two transposes per frame
         # forward + two backward).  A caller-supplied render_fn drives the
@@ -437,7 +443,10 @@ class Trainer:
             self._work_low_streak = 0
         shrunk = False
         if self._dup_low_streak >= 3:
-            new_max = max(-(-int(nd * 1.25) // chunk) * chunk, 4 * chunk)
+            # 2x headroom (vs the grow path's 1.25x): checks only run at
+            # sync points, so a densify wave right after a tight shrink
+            # would silently truncate until the NEXT check — leave room
+            new_max = max(-(-int(nd * 2.0) // chunk) * chunk, 4 * chunk)
             if new_max <= (2 * self.runtime.max_dup) // 3:
                 self.runtime.max_dup = new_max
                 shrunk = True

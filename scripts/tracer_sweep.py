@@ -48,8 +48,11 @@ def main():
                           sample_batch=args.samples)
             rtx.load_model(mesh)
             rtx.load_texture_diffuse(mushroom_texture())
-            # warm up / compile
-            img = rtx.render(cam, np.zeros(3, np.float32), 1, res, res)
+            # warm up / compile with the TIMED sample count: samples is a
+            # static jit arg, so a different warmup count would leave a
+            # fresh compile inside the timed region
+            img = rtx.render(cam, np.zeros(3, np.float32), args.samples,
+                             res, res)
             jax.block_until_ready(img)
             t0 = time.perf_counter()
             for _ in range(args.reps):

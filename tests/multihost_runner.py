@@ -116,26 +116,18 @@ def main():
     truth_tiles = tile_truths_np(truths)
 
     mesh = make_camera_mesh(jax.devices())  # GLOBAL mesh over both processes
-    repl = NamedSharding(mesh, P())
-    sh_frames = NamedSharding(mesh, P(CAMERA_AXIS))
-
-    def as_global(arr, sharding):
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
 
     model = SplatModel(
-        means=as_global(model_np["means"], repl),
-        shs=as_global(model_np["shs"], repl),
-        scales=as_global(model_np["scales"], repl),
-        opacities=as_global(model_np["opacities"], repl),
-        rotations=as_global(model_np["rotations"], repl),
-        count=as_global(model_np["count"], repl),
+        means=as_global2(mesh, model_np["means"], P()),
+        shs=as_global2(mesh, model_np["shs"], P()),
+        scales=as_global2(mesh, model_np["scales"], P()),
+        opacities=as_global2(mesh, model_np["opacities"], P()),
+        rotations=as_global2(mesh, model_np["rotations"], P()),
+        count=as_global2(mesh, model_np["count"], P()),
         sh_degree=1,
     )
-    cams = CameraBatch(**{k: as_global(v, repl) for k, v in cams_np.items()})
-    truths_g = as_global(truth_tiles, sh_frames)
+    cams = CameraBatch(**{k: as_global2(mesh, v, P()) for k, v in cams_np.items()})
+    truths_g = as_global2(mesh, truth_tiles, P(CAMERA_AXIS))
     lrs = LearningRates(
         location=np.float32(5e-5), sh=np.float32(1e-4), scale=np.float32(2e-5),
         opacity=np.float32(1e-4), rotation=np.float32(2.5e-5),

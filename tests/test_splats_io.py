@@ -231,3 +231,47 @@ def test_ply_roundtrip_inria_layout(tmp_path):
     # capacity growth mirrors the .gobj loader
     big = load_ply(path, capacity=256)
     assert big.capacity == 256 and big.count == n
+
+
+def test_ply_loader_tolerates_ecosystem_headers(tmp_path):
+    """Ecosystem writers add comment/obj_info lines and trailing empty
+    elements; the loader must accept them (and still reject non-float
+    VERTEX properties and pre-vertex elements)."""
+    import pytest
+
+    from gaussian_splatterer_tpu.io.ply import load_ply, save_ply
+
+    h = SplatModelHost(8, 1, 4)
+    h.means[:2] = [[0, 0, 1], [1, 0, 2]]
+    h.opacities[:2] = 0.5
+    h.scales[:2] = 0.1
+    h.rotations[:2] = [1, 0, 0, 0]
+    h.count = 2
+    path = str(tmp_path / "m.ply")
+    save_ply(h, path)
+    raw = open(path, "rb").read()
+    head, _, body = raw.partition(b"end_header\n")
+    lines = head.decode().splitlines()
+    # inject a comment before 'format' and an empty face element at the end
+    decorated = (
+        [lines[0], "comment Generated by some-ecosystem-tool"]
+        + lines[1:]
+        + ["element face 0", "property list uchar int vertex_indices"]
+    )
+    path2 = str(tmp_path / "m2.ply")
+    with open(path2, "wb") as fh:
+        fh.write(("\n".join(decorated) + "\nend_header\n").encode())
+        fh.write(body)
+    back = load_ply(path2)
+    assert back.count == 2
+    np.testing.assert_allclose(back.means[:2], h.means[:2], atol=1e-6)
+
+    # a non-float VERTEX property must still be rejected
+    bad = [lines[0]] + lines[1:]
+    bad.insert(4, "property uchar red")
+    path3 = str(tmp_path / "m3.ply")
+    with open(path3, "wb") as fh:
+        fh.write(("\n".join(bad) + "\nend_header\n").encode())
+        fh.write(body)
+    with pytest.raises(ValueError):
+        load_ply(path3)
