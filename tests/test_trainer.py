@@ -465,3 +465,29 @@ def test_ssim_matches_naive_reference():
     assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-6)
     big = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
     assert float(ssim(a, b)) > float(ssim(a, big))
+
+
+def test_serve_renderer_follows_buffer_resize():
+    """Regression: Trainer.render's partial bakes max_dup at build time;
+    maybe_grow_dup_buffer must rebuild it, or post-grow previews/PSNR
+    evals silently drop the deepest duplicates."""
+    from gaussian_splatterer_tpu.train.trainer import TrainMetrics
+
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = 64
+    runtime.tile_px = 16
+    runtime.max_dup = 256
+    runtime.splats_capacity = 16
+    h = SplatModelHost(16, 1, 4)
+    h.push_back([0, 0, 0], rgb_sh([0.5, 0.5, 0.5]), [0.2] * 3, 0.9,
+                [1, 0, 0, 0])
+    trainer = Trainer(small_project(), runtime, h.to_device(), renderer="tiled")
+    assert trainer._render_fn.keywords["max_dup"] == 256
+
+    z = jnp.zeros(())
+    trainer.project.iterations += 1
+    grew = trainer.maybe_grow_dup_buffer(
+        TrainMetrics(z, z, z, jnp.int32(1000), jnp.int32(-1))
+    )
+    assert grew and runtime.max_dup >= 1000
+    assert trainer._render_fn.keywords["max_dup"] == runtime.max_dup
