@@ -305,10 +305,17 @@ def project_splat_components(
     opacities = opacities.astype(f32)
     if aa:
         # mip-splat compensation: ratio of the raw to the dilated 2D
-        # covariance determinant (1 for large splats, -> 0 sub-pixel)
+        # covariance determinant (1 for large splats, -> 0 sub-pixel).
+        # sqrt has an INFINITE derivative at 0 and clip zeros its cotangent
+        # there, so sqrt(clip(x)) backpropagates inf * 0 = NaN for any
+        # fully-collapsed splat (an SGD scale clamp at 0 makes det_raw
+        # exactly 0, which NaN'd whole training runs).  A degenerate splat
+        # must fade out with ZERO gradient instead.
         det_raw = (cxx - DILATION) * (cyy - DILATION) - cxy * cxy
-        opacities = opacities * jnp.sqrt(
-            jnp.clip(det_raw / det_safe, 0.0, 1.0)
+        ratio = jnp.clip(det_raw / det_safe, 0.0, 1.0)
+        nondegen = ratio > 1e-12
+        opacities = opacities * jnp.where(
+            nondegen, jnp.sqrt(jnp.where(nondegen, ratio, 1.0)), 0.0
         )
 
     mid = 0.5 * (cxx + cyy)

@@ -605,3 +605,36 @@ def test_mm_power_close_to_exact():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
         )
+
+
+def test_mip_aa_zero_scale_gradients_finite():
+    """Regression: a splat whose scale the SGD clamp collapsed to 0 makes
+    the AA compensation's det_raw exactly 0; sqrt(clip(x)) there
+    backpropagates inf * 0 = NaN and poisoned whole --mip-aa training
+    runs.  Gradients must stay finite (the degenerate splat fades with
+    zero gradient)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    params = list(random_splats(8, 21)[:5])
+    active = random_splats(8, 21)[5]
+    params[2] = params[2].at[3].set(0.0)  # one fully-collapsed splat
+    rng = np.random.default_rng(1)
+    view, pv, pos, tx, ty = cam_args()
+    views, pvs, poss = view[None], pv[None], jnp.asarray(pos)[None]
+    txs = jnp.asarray(tx, jnp.float32)[None]
+    tys = jnp.asarray(ty, jnp.float32)[None]
+    bgs = jnp.asarray([[0.1, 0.2, 0.3]], jnp.float32)
+    truths = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+
+    loss, grads, var, _, _, _ = render_train_grads_batch(
+        *params, active, views, pvs, poss, txs, tys, W, H, tt, bgs, 1,
+        tile=TILE, max_dup=2**12, interpret=True, aa=True,
+    )
+    assert np.isfinite(float(loss))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all(), "NaN gradient with aa=True"
+    assert np.isfinite(np.asarray(var)).all()
