@@ -147,6 +147,10 @@ def main():
     ap.add_argument("--spot-alpha", type=float, default=1.0,
                     help="alpha of the mushroom cap spots (<1 exercises "
                          "stochastic transparency end-to-end)")
+    ap.add_argument("--fast-exp", action="store_true",
+                    help="polynomial exp2 in the fused train kernel")
+    ap.add_argument("--mm-power", action="store_true",
+                    help="MXU-basis Gaussian exponent in the train kernel")
     ap.add_argument("--mip-aa", action="store_true",
                     help="train AND serve with mip-splatting anti-aliasing "
                          "(RuntimeConfig.mip_antialias)")
@@ -179,6 +183,8 @@ def main():
         lr_location_decay=args.lr_location_decay,
         densify_variance_decay=args.densify_variance_decay,
         mip_antialias=args.mip_aa,
+        train_fast_exp=args.fast_exp,
+        train_mm_power=args.mm_power,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:
