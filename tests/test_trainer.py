@@ -491,3 +491,33 @@ def test_serve_renderer_follows_buffer_resize():
     )
     assert grew and runtime.max_dup >= 1000
     assert trainer._render_fn.keywords["max_dup"] == runtime.max_dup
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(mip_antialias=True, opacity_reset_interval=5),
+    dict(train_fast_exp=True, train_mm_power=True,
+         lr_location_decay=0.99, densify_variance_decay=0.99),
+    dict(mip_antialias=True, train_mm_power=True, train_mm_bf16=False),
+])
+def test_training_soak_stays_finite(knobs):
+    """Mini-soak: real multi-step training (capture, densify, SGD, all
+    optional knobs) must keep loss/params finite.  Parity tests never
+    evolve params into degenerate states — the mip-AA sqrt-NaN (a
+    collapsed scale after an SGD clamp) only surfaced under training."""
+    rt = RuntimeConfig(render_resolution_x=RES, render_resolution_y=RES,
+                       splats_capacity=32, max_dup=2048, **knobs)
+    rt.tile_px = 16
+    p = small_project()
+    p.intervalDensify = 4
+    p.paramDensifyVariance = 1e-4
+    # aggressive LRs to push params into clamps quickly
+    p.lrScale = 5e-2
+    p.lrOpacity = 1e-1
+    trainer = Trainer(p, rt, student_model(), renderer="tiled")
+    trainer.capture_truths(OracleRtx(target_model()))
+    for i in range(12):
+        m = trainer.train(densify_now=(i % 4 == 3))
+        assert np.isfinite(float(m.loss)), f"loss NaN at step {i} ({knobs})"
+    for leaf in (trainer.model.means, trainer.model.scales,
+                 trainer.model.opacities, trainer.model.rotations):
+        assert np.isfinite(np.asarray(leaf)).all(), f"param NaN ({knobs})"
