@@ -48,7 +48,7 @@ const gl = canvas.getContext("webgl2", {antialias:false});
 if (!gl) document.getElementById("hud").textContent = "WebGL2 required";
 
 const VS = `#version 300 es
-layout(location=0) in vec2 corner;     // quad corner in [-2,2] sigma units
+layout(location=0) in vec2 corner;     // quad corner, 3-sigma units
 layout(location=1) in vec3 pos;
 layout(location=2) in vec3 scale;
 layout(location=3) in vec4 quat;       // [w,x,y,z]
@@ -66,7 +66,9 @@ out vec2 vXY;                          // position in sigma units
 out vec4 vColA;
 void main(){
   vec4 vc = uView * vec4(pos,1.0);
-  if (vc.z < 0.2) { gl_Position = vec4(0,0,2,1); return; }
+  // RH view space: the camera looks down -z, visible points have vc.z < 0
+  if (vc.z > -0.2) { gl_Position = vec4(0,0,2,1); return; }
+  float tz = -vc.z;                    // positive view depth
   // cov3d = R S^2 R^T
   float w=quat.x,x=quat.y,y=quat.z,z=quat.w;
   float qn = inversesqrt(max(w*w+x*x+y*y+z*z,1e-12));
@@ -79,9 +81,12 @@ void main(){
   mat3 V = R*S2*transpose(R);
   // EWA: J W V W^T J^T (2x2 upper block), W = view rotation
   mat3 W3 = mat3(uView);
-  float iz = 1.0/vc.z;
+  float iz = 1.0/tz;
+  // d(x_img)/d(vc.z) = +f*vc.x*iz^2 here: x_img = f*vc.x/tz with
+  // tz = -vc.z (the INRIA formula's minus sign belongs to its +z-forward
+  // convention and must flip with ours)
   mat3 J = mat3(uFocal.x*iz,0,0, 0,uFocal.y*iz,0,
-                -uFocal.x*vc.x*iz*iz, -uFocal.y*vc.y*iz*iz, 0);
+                uFocal.x*vc.x*iz*iz, uFocal.y*vc.y*iz*iz, 0);
   mat3 T = J*W3;
   mat3 C = T*V*transpose(T);
   float cxx=C[0][0]+0.3, cxy=C[1][0], cyy=C[1][1]+0.3;
@@ -94,11 +99,13 @@ void main(){
   vec2 e1 = normalize(vec2(cxy, l1-cxx));
   if (abs(cxy)<1e-9) e1 = (cxx>=cyy)?vec2(1,0):vec2(0,1);
   vec2 e2 = vec2(-e1.y,e1.x);
-  vec2 px = corner.x*e1*sqrt(l1)*2.0 + corner.y*e2*sqrt(l2)*2.0; // 2 sigma
+  vec2 px = corner.x*e1*sqrt(l1)*3.0 + corner.y*e2*sqrt(l2)*3.0; // 3 sigma
+  // (2-sigma quads leave a visible elliptical clip edge: border alpha
+  // = opacity*exp(-2) ~ 0.135, far above the 1/255 discard)
   vec4 clip = uProj * vc;
   vec2 ndc = clip.xy/clip.w + px/(0.5*uViewport);
   gl_Position = vec4(ndc*clip.w, clip.z, clip.w);
-  vXY = corner*2.0;
+  vXY = corner*3.0;
   // view-dependent color: dc + degree-1 SH (INRIA band-1 signs)
   vec3 dir = normalize(pos - uEye);
   vec3 col = rgb + __SHC1__*(-dir.y*sh1x + dir.z*sh1y - dir.x*sh1z);
@@ -200,8 +207,9 @@ function frame(){
     depths[i]=view[2]*F[o]+view[6]*F[o+1]+view[10]*F[o+2];
     order[i]=i;
   }
-  order.sort((a,b)=>depths[a]-depths[b]);  // most-negative z = farthest? RH: camera looks down -z
-  // camera looks down -z in view space: farther = more negative z -> draw first
+  // camera looks down -z in view space: farther = more negative view z,
+  // so ascending sort draws back-to-front
+  order.sort((a,b)=>depths[a]-depths[b]);
   for(let k=0;k<N;k++){
     const s=order[k]*STRIDE, d=k*STRIDE;
     for(let j=0;j<STRIDE;j++) inst[d+j]=F[s+j];
@@ -225,9 +233,22 @@ requestAnimationFrame(frame);
 
 
 def pack_viewer_arrays(host: SplatModelHost) -> np.ndarray:
-    """(N, 23) float32: pos3, scale3, quat4, rgb_dc3, sh1 3x3, opacity."""
+    """(N, 23) float32: pos3, scale3, quat4, rgb_dc3, sh1 3x3, opacity.
+
+    Degree-1 SH stays view-dependent in the shader; bands >= 2 are baked
+    into the DC color at the nominal forward direction (file-size/stride
+    sanity — full SH lives in the training pipeline and .gobj/.ply)."""
     n = host.count
     rgb = SH_C0 * host.shs[:n, 0] + 0.5  # DC color (clamped in-shader)
+    if host.sh_coeffs > 4:
+        from gaussian_splatterer_tpu.ops.transforms import sh_eval_linear
+
+        d0 = np.broadcast_to(
+            np.asarray([0.0, 0.0, -1.0], np.float32), (n, 3)
+        )
+        shs2 = np.array(host.shs[:n])
+        shs2[:, :4] = 0.0  # bands 0-1 handled exactly; bake only >= 2
+        rgb = rgb + np.asarray(sh_eval_linear(shs2, d0, host.sh_degree))
     if host.sh_coeffs >= 4:
         sh1 = host.shs[:n, 1:4]  # (N, 3, 3): [y, z, x] bands per channel
     else:

@@ -104,6 +104,19 @@ class TwoPassWork(NamedTuple):
     # callers grow the budget like the max_dup overflow machinery)
 
 
+def emit_capacity(num_tiles: int, max_dup: int, chunk: int,
+                  work_cap: int | None = None) -> int:
+    """Compacted gradient-slab slot count of the fused work list (the dump
+    slot is +1 on top).  SINGLE SOURCE OF TRUTH shared by
+    make_two_pass_worklist and the frame-batched launcher
+    (raster_tiled.render_train_grads_batch): if the two computed different
+    values, frame-globalized slab slots would mis-index and dump-slot
+    garbage would silently sum into real gradient blocks."""
+    wc = work_capacity(num_tiles, max_dup, chunk)
+    w_cap2 = 2 * wc if work_cap is None else min(work_cap, 2 * wc)
+    return min(wc, w_cap2)
+
+
 def make_two_pass_worklist(
     tile_start: jax.Array, tile_end: jax.Array,
     num_tiles: int, max_dup: int, chunk: int,
@@ -153,7 +166,7 @@ def make_two_pass_worklist(
     # compacted output slots: emitting items get consecutive slots, all
     # others share the dump slot E.  Sum of emitting chunks <= E by the
     # work_capacity bound (ceil(dups_t/chunk) + alignment per tile).
-    emit_cap = min(work_capacity(num_tiles, max_dup, chunk), w_cap2)
+    emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
     pos = jnp.cumsum(emits_slab.astype(i32)) - 1
     slab_pos = jnp.where(emits_slab & (pos < emit_cap), pos, emit_cap)
     seg_slot = (

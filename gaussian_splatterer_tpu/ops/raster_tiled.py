@@ -42,7 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaussian_splatterer_tpu.ops.binning import TileBins, bin_splats, work_capacity
+from gaussian_splatterer_tpu.ops.binning import (
+    TileBins,
+    bin_splats,
+    emit_capacity,
+    work_capacity,
+)
 from gaussian_splatterer_tpu.ops.transforms import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -739,14 +744,14 @@ def max_frame_group(
     width: int, height: int, tile: int, max_dup: int, chunk: int = 128
 ) -> int:
     """Largest frame count per fused launch whose scalar-prefetch arrays
-    (2 work-list vectors — tile+flags packed into one word — plus per-tile
-    ranges, all int32 in SMEM) fit the budget.  Exceeding SMEM is a hard
-    compile error on TPU."""
+    (THREE w2-length work-list vectors — packed tile+flags, block ids,
+    slab slots — plus two per-tile range vectors, all int32 in SMEM) fit
+    the budget.  Exceeding SMEM is a hard compile error on TPU."""
     tx_tiles = -(-width // tile)
     ty_tiles = -(-height // tile)
     num_tiles = tx_tiles * ty_tiles
     w2 = 2 * work_capacity(num_tiles, max_dup, chunk)
-    per_frame = (2 * w2 + 2 * num_tiles) * 4
+    per_frame = (3 * w2 + 2 * num_tiles) * 4
     return max(1, _SMEM_BUDGET_BYTES // per_frame)
 
 
@@ -949,12 +954,10 @@ def render_train_grads_batch(
     wt_g = w2.work_tile + f_col * num_tiles
     wtf_g = ((wt_g << _FL_BITS) | _worklist_flags(w2)).reshape(-1)
     wb_g = (w2.work_block + f_col * num_blocks).reshape(-1)
-    # compacted slab slots: frame-local slots stack, ONE global dump at the
-    # end; per-slot segment ids globalize the same way (emit_cap must match
-    # make_two_pass_worklist's computation under the work_cap budget)
-    emit_cap = work_capacity(num_tiles, max_dup, chunk)
-    if work_cap is not None:
-        emit_cap = min(emit_cap, work_cap, 2 * emit_cap)
+    # compacted slab slots: frame-local slots stack, ONE global dump at
+    # the end; per-slot segment ids globalize the same way (shared helper
+    # keeps this bit-identical to make_two_pass_worklist's slot count)
+    emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
     sp_g = jnp.where(
         w2.slab_pos == emit_cap,
         f * emit_cap,

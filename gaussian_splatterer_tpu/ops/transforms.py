@@ -79,6 +79,13 @@ def sh_to_rgb(shs: jax.Array, dirs: jax.Array, sh_degree: int) -> jax.Array:
     Matches the INRIA computeColorFromSH semantics: band sum + 0.5,
     clamped at zero (clamp kills the gradient, which jax.grad reproduces).
     """
+    return jnp.maximum(sh_eval_linear(shs, dirs, sh_degree) + 0.5, 0.0)
+
+
+def sh_eval_linear(shs, dirs, sh_degree: int):
+    """Raw SH band sum (no +0.5 offset, no clamp) — the linear part shared
+    by sh_to_rgb and partial evaluations (e.g. the HTML viewer baking
+    bands >= 2 at a nominal direction).  Works on numpy or jnp inputs."""
     x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
     c = SH_C0 * shs[:, 0]
     if sh_degree >= 1:
@@ -105,7 +112,7 @@ def sh_to_rgb(shs: jax.Array, dirs: jax.Array, sh_degree: int) -> jax.Array:
             + SH_C3[5] * z * (xx - yy) * shs[:, 14]
             + SH_C3[6] * x * (xx - yy) * shs[:, 15]
         )
-    return jnp.maximum(c + 0.5, 0.0)
+    return c
 
 
 class ProjectedSplats(NamedTuple):

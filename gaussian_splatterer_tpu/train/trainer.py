@@ -329,6 +329,7 @@ class Trainer:
         self._tile_space = 0
         fused = False
         fused_opts = None
+        self._fused = False
         if (
             self.renderer == "tiled"
             and not self._user_render
@@ -339,6 +340,7 @@ class Trainer:
             # residual + gradient replay in one Pallas launch per group)
             self._tile_space = runtime.tile_px
             fused = True
+            self._fused = True
             fused_opts = dict(
                 tile=runtime.tile_px, max_dup=runtime.max_dup,
                 mm_bf16=getattr(runtime, "train_mm_bf16", True),
@@ -473,6 +475,11 @@ class Trainer:
         recovered by maybe_grow_dup_buffer.  Returns True when it set the
         cap.  Reads num_work (device sync) — call at natural sync points."""
         if getattr(self.runtime, "train_work_cap", None) is not None:
+            return False
+        # non-fused paths never report num_work: materializing the -1
+        # device scalar would block the host on the in-flight step EVERY
+        # iteration (this is called from the auto-train logging hook)
+        if not getattr(self, "_fused", False):
             return False
         metrics = metrics if metrics is not None else self.last_metrics
         if metrics is None:

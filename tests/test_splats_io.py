@@ -275,3 +275,106 @@ def test_ply_loader_tolerates_ecosystem_headers(tmp_path):
         fh.write(body)
     with pytest.raises(ValueError):
         load_ply(path3)
+
+
+def _viewer_shader_sim(pos, scale, view, proj, focal, viewport):
+    """Numpy transcription of the viewer's vertex shader (io/viewer.py VS):
+    returns (culled, ndc_center, cov2d) for one splat with identity
+    rotation.  Must mirror the GLSL exactly — this test exists because a
+    z-sign error there once culled EVERY visible splat (black canvas)."""
+    vc = view @ np.append(pos, 1.0)
+    if vc[2] > -0.2:  # RH view space: visible points have z < 0
+        return True, None, None
+    tz = -vc[2]
+    V = np.diag(np.asarray(scale, np.float64) ** 2)
+    W3 = view[:3, :3]
+    iz = 1.0 / tz
+    fx, fy = focal
+    # column-major GLSL mat3 constructor -> this row-major layout
+    J = np.array([
+        [fx * iz, 0.0, fx * vc[0] * iz * iz],
+        [0.0, fy * iz, fy * vc[1] * iz * iz],
+        [0.0, 0.0, 0.0],
+    ])
+    T = J @ W3
+    C = T @ V @ T.T
+    cov2d = C[:2, :2] + 0.3 * np.eye(2)
+    clip = proj @ vc
+    return False, clip[:2] / clip[3], cov2d
+
+
+def test_viewer_shader_math_matches_projection():
+    import jax.numpy as jnp
+
+    """The HTML viewer's vertex-shader math (numpy-simulated) must agree
+    with the trusted TPU projection: same near-cull decisions, same
+    dilated 2D covariance (up to the y-axis orientation), centered splat
+    lands at NDC ~ 0."""
+    from gaussian_splatterer_tpu.models.camera import Camera
+    from gaussian_splatterer_tpu.ops.transforms import project_splat_components
+
+    # the viewer's standard lookAt/perspective for an orbit camera
+    eye = np.array([0.0, 0.5, 4.0])
+    tgt = np.zeros(3)
+    up = np.array([0.0, 1.0, 0.0])
+    z = (eye - tgt) / np.linalg.norm(eye - tgt)
+    x = np.cross(up, z); x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    view = np.eye(4)
+    view[0, :3], view[1, :3], view[2, :3] = x, y, z
+    view[:3, 3] = [-x @ eye, -y @ eye, -z @ eye]
+    fovy = np.pi / 4
+    wpx = hpx = 256
+    t = 1.0 / np.tan(fovy / 2)
+    proj = np.array([
+        [t, 0, 0, 0], [0, t, 0, 0],
+        [0, 0, (100.0 + 0.1) / (0.1 - 100.0), 2 * 100.0 * 0.1 / (0.1 - 100.0)],
+        [0, 0, -1, 0],
+    ])
+    fl = 0.5 * hpx / np.tan(fovy / 2)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.0, 1.0, (32, 3))
+    pts[0] = tgt  # dead-center splat
+    scales = rng.uniform(0.05, 0.3, (32, 3))
+
+    # trusted projection at the SAME pose (reference camera convention)
+    cam = Camera(eye.astype(np.float32), tgt.astype(np.float32), 45.0)
+    n = 32
+    shs = np.zeros((n, 4, 3), np.float32)
+    rot = np.zeros((n, 4), np.float32); rot[:, 0] = 1.0
+    pr = project_splat_components(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(shs),
+        jnp.asarray(scales, jnp.float32),
+        jnp.ones((n,), jnp.float32), jnp.asarray(rot),
+        jnp.ones((n,), bool),
+        jnp.asarray(cam.get_view()), jnp.asarray(cam.get_proj_view(1.0)),
+        jnp.asarray(cam.location), *cam.tan_fov(wpx, hpx, train=True),
+        wpx, hpx, 0, 1.0,
+    )
+
+    n_visible = 0
+    for i in range(32):
+        culled, ndc, cov = _viewer_shader_sim(
+            pts[i], scales[i], view, proj, (fl, fl), (wpx, hpx)
+        )
+        assert culled == (not bool(pr.valid[i])), f"cull mismatch splat {i}"
+        if culled:
+            continue
+        n_visible += 1
+        assert np.all(np.isfinite(ndc)) and np.all(np.isfinite(cov))
+        # reconstruct the trusted dilated cov2d from the conic rows
+        ca, cb, cc = (float(pr.ca[i]), float(pr.cb[i]), float(pr.cc[i]))
+        conic = np.array([[ca, cb], [cb, cc]])
+        cov_ref = np.linalg.inv(conic)
+        # y axis is flipped between NDC and image coords: |cxy| matches
+        np.testing.assert_allclose(cov[0, 0], cov_ref[0, 0], rtol=2e-3)
+        np.testing.assert_allclose(cov[1, 1], cov_ref[1, 1], rtol=2e-3)
+        np.testing.assert_allclose(
+            abs(cov[0, 1]), abs(cov_ref[0, 1]), rtol=2e-3, atol=1e-3
+        )
+    assert n_visible >= 30, "orbit camera must see nearly all splats"
+    _, ndc0, _ = _viewer_shader_sim(
+        pts[0], scales[0], view, proj, (fl, fl), (wpx, hpx)
+    )
+    np.testing.assert_allclose(ndc0, 0.0, atol=1e-6)

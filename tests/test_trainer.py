@@ -216,18 +216,18 @@ def test_overflow_auto_recovery_grows_dup_buffer():
 
 def test_frame_group_respects_smem_budget():
     """Scalar-prefetch work lists live in 1 MB SMEM — the fused step must
-    cap its frame group so 2 work vectors (tile+flags packed into one word)
-    + 2 range vectors fit (measured hard compile OOM at 16 frames / 1024^2
-    / tile 32 / max_dup 2^18 with the pre-packing 3-vector layout)."""
+    cap its frame group so THREE w2-length work vectors (packed tile+flags,
+    block ids, slab slots) + 2 range vectors fit (measured hard compile
+    OOM at 16 frames / 1024^2 / tile 32 / max_dup 2^18)."""
     from gaussian_splatterer_tpu.ops.raster_tiled import (
         max_frame_group,
         work_capacity,
     )
 
     g = max_frame_group(1024, 1024, 32, 2**18)
-    # bench shapes: W2=8192, T=1024 -> 73.7KB/frame -> 9 frames in 700KB
+    # bench shapes: W2=8192, T=1024 -> 106.5KB/frame -> 6 frames in 700KB
     w2 = 2 * work_capacity(1024, 2**18, 128)
-    per_frame = (2 * w2 + 2 * 1024) * 4
+    per_frame = (3 * w2 + 2 * 1024) * 4
     assert g == max(1, (700 * 1024) // per_frame)
     assert g * per_frame <= 1024 * 1024  # never exceeds physical SMEM
     # tiny configs are unconstrained
