@@ -73,11 +73,15 @@ def cmd_train(args):
         else:
             print(f"--resume: no checkpoint at {latest}; starting fresh")
     t0 = time.time()
-    last = {"it": session.project.iterations}
+    last = {"it": session.project.iterations, "t": t0}
 
     def on_step(it, metrics):
         if it % args.log_every == 0:
-            rate = (it - last["it"]) / max(time.time() - t0, 1e-9)
+            # sliding-window rate: a lifetime average would stay dominated
+            # by the first step's compile (minutes through the TPU tunnel)
+            now = time.time()
+            rate = (it - last["it"]) / max(now - last["t"], 1e-9)
+            last["it"], last["t"] = it, now
             # cadence countdowns mirror the reference's train panel
             # (src/ui/tools/UiPanelToolsTrain.cpp:98-107)
             p = session.project

@@ -68,8 +68,19 @@ def load_obj(path: str, progress: Optional[Callable[[], None]] = None) -> Triang
                 corners = []
                 for tok in parts[1:]:
                     sub = tok.split("/")
-                    vi = int(sub[0]) if sub[0] else 0
+                    if not sub[0]:
+                        raise ValueError(f"face corner without vertex index: {tok!r}")
+                    vi = int(sub[0])
+                    if vi < 0:  # OBJ relative index: -1 = latest defined
+                        vi = len(vertices) + vi + 1
                     ti = int(sub[1]) if len(sub) > 1 and sub[1] else 0
+                    if ti < 0:
+                        ti = len(uvs) + ti + 1
+                    if not 1 <= vi <= len(vertices):
+                        raise ValueError(
+                            f"face vertex index {tok!r} out of range "
+                            f"({len(vertices)} vertices defined so far)"
+                        )
                     corners.append((vi, ti))
                 if len(corners) == 4:
                     for tri in ((0, 1, 2), (0, 2, 3)):

@@ -75,7 +75,7 @@ def load_ply(path: str, capacity: int | None = None) -> SplatModelHost:
     reader infers it from the first ``sh`` line width)."""
     with open(path, "rb") as fh:
         header = b""
-        while not header.endswith(b"end_header\n"):
+        while not header.endswith((b"end_header\n", b"end_header\r\n")):
             ch = fh.read(1)
             if not ch:
                 raise ValueError(f"{path}: truncated PLY header")

@@ -165,7 +165,7 @@ gl.blendFunc(gl.ONE, gl.ONE_MINUS_SRC_ALPHA);
 gl.disable(gl.DEPTH_TEST);
 
 // orbit camera
-let theta=0.6, phi=0.4, dist=META.suggested_distance, target=[0,0,0];
+let theta=0.6, phi=0.4, dist=META.suggested_distance, target=META.center;
 canvas.addEventListener("mousedown", e=>{
   const sx=e.clientX, sy=e.clientY, t0=theta, p0=phi;
   const move=ev=>{theta=t0+(ev.clientX-sx)*0.005; phi=Math.max(-1.5,
@@ -282,6 +282,7 @@ def export_viewer_html(model, path: str, title: str = "gsplat-tpu") -> None:
     spread = float(np.abs(packed[:, 0:3] - center).max()) if len(packed) else 1.0
     meta = {
         "count": int(host.count),
+        "center": [float(c) for c in center],
         "sh_degree": int(host.sh_degree),
         "suggested_distance": max(2.0, 3.0 * spread),
         "title": title,

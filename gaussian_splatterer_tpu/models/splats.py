@@ -134,6 +134,10 @@ class SplatModelHost:
         the coefficient count."""
         means = np.asarray(means, np.float32).reshape(-1, 3)
         n = means.shape[0]
+        if n == 0:
+            # reshape(0, -1, 3) can't infer a dimension from a size-0
+            # array: an empty model round-trips as the default layout
+            return cls(capacity or 1, sh_degree=1, sh_coeffs=4)
         shs = np.asarray(shs, np.float32).reshape(n, -1, 3)
         k = shs.shape[1]
         sh_degree = int(math.isqrt(k)) - 1 if math.isqrt(k) ** 2 == k else (k - 1) // 3
@@ -141,6 +145,9 @@ class SplatModelHost:
             capacity = 1_000_000
             while capacity < n:
                 capacity *= 10
+        # a too-small explicit capacity grows to fit (same autogrow
+        # semantic as the PLY loader; a broadcast crash helps nobody)
+        capacity = max(capacity, n)
         m = cls(capacity, sh_degree=sh_degree, sh_coeffs=k)
         m.count = n
         m.means[:n] = means

@@ -145,6 +145,16 @@ int gst_load_obj(const char* path,
                 ++corners;
             }
             if (corners != 3 && corners != 4) return -3;
+            // OBJ relative (negative) indices count back from the latest
+            // defined vertex/uv; resolve and bounds-check here so bad
+            // indices error out instead of wrapping in numpy downstream
+            const long nverts = static_cast<long>(verts.size()) / 3;
+            const long nuv = static_cast<long>(uvs.size()) / 2;
+            for (int k = 0; k < corners; ++k) {
+                if (vi[k] < 0) vi[k] = nverts + vi[k] + 1;
+                if (vi[k] < 1 || vi[k] > nverts) return -3;
+                if (ti[k] < 0) ti[k] = nuv + ti[k] + 1;
+            }
             static const int quad_split[2][3] = {{0, 1, 2}, {0, 2, 3}};
             int ntri = corners == 4 ? 2 : 1;
             for (int k = 0; k < ntri; ++k) {

@@ -63,33 +63,16 @@ def _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
         e2x, e2y, e2z = sl(tris["e2x"]), sl(tris["e2y"]), sl(tris["e2z"])
         valid = sl(tris["valid"])
 
-        # broadcast rays (R, 1) against triangles (1, Tc)
-        dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
-        # pvec = dir x e2
-        px = dyc * e2z[None] - dzc * e2y[None]
-        py = dzc * e2x[None] - dxc * e2z[None]
-        pz = dxc * e2y[None] - dyc * e2x[None]
-        det = e1x[None] * px + e1y[None] * py + e1z[None] * pz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        # tvec = origin - v0
-        tx = ox[:, None] - ax[None]
-        ty = oy[:, None] - ay[None]
-        tz = oz[:, None] - az[None]
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        # qvec = tvec x e1
-        qx = ty * e1z[None] - tz * e1y[None]
-        qy = tz * e1x[None] - tx * e1z[None]
-        qz = tx * e1y[None] - ty * e1x[None]
-        v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
-        t = (e2x[None] * qx + e2y[None] * qy + e2z[None] * qz) * inv_det
-        hit = (
-            valid[None]
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > RAY_TMIN)
+        # broadcast rays (R, 1) against triangles (1, Tc): one shared
+        # Möller-Trumbore predicate for both intersectors
+        t, u, v = _mt_hit(
+            ox[:, None], oy[:, None], oz[:, None],
+            dx[:, None], dy[:, None], dz[:, None],
+            ax[None], ay[None], az[None],
+            e1x[None], e1y[None], e1z[None],
+            e2x[None], e2y[None], e2z[None],
+            valid[None],
         )
-        t = jnp.where(hit, t, jnp.inf)
         j = jnp.argmin(t, axis=1)  # (R,)
         rr = jnp.arange(r)
         tj = t[rr, j]
@@ -341,9 +324,12 @@ def render_rtx_sums(
     background = jnp.asarray(background, jnp.float32)
     cam_location = jnp.asarray(cam_location, jnp.float32)
     n_pix = width * height
-    assert n_pix % ray_chunk == 0, "ray_chunk must divide W*H"
+    # pad the flat pixel list to a chunk multiple (odd resolutions would
+    # otherwise need a pathological chunk size); pad rays re-trace pixel 0
+    # and are cropped on return
+    n_pad = -(-n_pix // ray_chunk) * ray_chunk
 
-    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    pix = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
     pxi = (pix % width).astype(jnp.float32)
     pyi = (pix // width).astype(jnp.float32)
 
@@ -384,19 +370,26 @@ def render_rtx_sums(
             # orb overlay: primary ray passes near a truth camera, not occluded
             if splat_cameras is not None and splat_cameras.shape[0] > 0:
                 rel = splat_cameras[None, :, :] - o[:, None, :]  # (R, K, 3)
-                tproj = jnp.einsum("rk,rck->rc", d, rel.transpose(0, 2, 1)) \
-                    if False else jnp.sum(d[:, None, :] * rel, -1)  # (R, K)
+                tproj = jnp.sum(d[:, None, :] * rel, -1)  # (R, K)
                 closest = o[:, None, :] + d[:, None, :] * tproj[..., None]
                 delta = splat_cameras[None, :, :] - closest
                 near = jnp.sum(delta * delta, -1) < SPLAT_CAMERA_DOT_SIZE**2
-                visible = tproj <= primary_t[:, None]
+                # orbs only IN FRONT of the eye: a rig camera at the eye
+                # itself (previewTruth) gives tproj = 0 / delta = 0 for
+                # every ray and would invert the whole image; cameras
+                # behind the eye would draw phantom dots on the ray's
+                # backward extension
+                visible = (tproj > 1e-6) & (tproj <= primary_t[:, None])
                 orb = jnp.any(near & visible, axis=1)
             else:
                 orb = jnp.zeros((ray_chunk,), bool)
             return color, orb
 
-        cols, orbs = jax.lax.map(chunk_fn, jnp.arange(n_pix // ray_chunk))
-        return (color_acc + cols.reshape(n_pix, 3), orb_acc | orbs.reshape(n_pix)), None
+        cols, orbs = jax.lax.map(chunk_fn, jnp.arange(n_pad // ray_chunk))
+        return (
+            color_acc + cols.reshape(n_pad, 3)[:n_pix],
+            orb_acc | orbs.reshape(n_pad)[:n_pix],
+        ), None
 
     keys = jax.random.split(key, samples)
     (color, orb), _ = jax.lax.scan(
@@ -578,9 +571,7 @@ class RtxHost:
         cams = None
         if splat_cameras is not None and len(splat_cameras):
             cams = jnp.asarray(np.stack([np.asarray(c, np.float32) for c in splat_cameras]))
-        rc = self.ray_chunk
-        while (width * height) % rc:
-            rc //= 2
+        rc = self.ray_chunk  # render_rtx_sums pads W*H up to a multiple
         key = jax.random.PRNGKey(seed)
         color_sum, orb = None, None
         done = 0

@@ -73,3 +73,44 @@ def test_gobj_native_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b)
     # %g text roundtrip: ~6 significant digits
     np.testing.assert_allclose(back_native.means[:n], m.means[:n], rtol=1e-5)
+
+
+def test_obj_relative_indices_both_paths(tmp_path):
+    """OBJ negative (relative) face indices count back from the latest
+    defined vertex/uv; previously they wrapped via numpy negative indexing
+    into vertices counted from the END of the file — silently corrupted
+    geometry.  Both parsers must resolve them identically; out-of-range
+    indices must raise, not wrap."""
+    import numpy as np
+    import pytest
+
+    from gaussian_splatterer_tpu.io import obj as objmod
+
+    p = tmp_path / "rel.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\n"
+        "f -3/-3 -2/-2 -1/-1\n"   # relative == absolute 1/2/3 here
+        "v 2 2 2\n"
+        "f 1 2 -1\n"              # -1 = the vertex defined just above
+    )
+    mesh_native = objmod.load_obj(str(p))
+    saved = objmod._native
+    objmod._native = None
+    try:
+        mesh_py = objmod.load_obj(str(p))
+    finally:
+        objmod._native = saved
+    for mesh in (mesh_native, mesh_py):
+        np.testing.assert_array_equal(mesh.triangles[0], [0, 1, 2])
+        np.testing.assert_array_equal(mesh.triangles[1], [0, 1, 3])
+        np.testing.assert_allclose(mesh.tri_uv[0, 1], [1, 0])
+
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nf 1 2 3\n")  # indices past the vertex count
+    objmod._native = None
+    try:
+        with pytest.raises(Exception):
+            objmod.load_obj(str(bad))
+    finally:
+        objmod._native = saved
