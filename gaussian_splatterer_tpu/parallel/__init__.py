@@ -51,12 +51,29 @@ def init_distributed(**kwargs) -> int:
     at all — SURVEY §2.4; this is our NCCL/MPI equivalent, riding ICI within
     a slice and DCN across slices).  Returns the global device count.
 
-    Call once per host before building meshes; on a single host it is a
-    no-op.  kwargs forward to jax.distributed.initialize (coordinator
-    address, num_processes, process_id) for non-TPU or manual setups.
+    Call once per host before building meshes.  jax.distributed.initialize
+    runs when (a) explicit kwargs are given (coordinator address /
+    num_processes / process_id — the 2-process simulation and manual
+    setups), or (b) a recognized multi-host environment is detected
+    (JAX/Cloud-TPU coordinator env vars).  Otherwise single-process: the
+    local device count is returned unchanged.  On managed multi-host
+    deployments WITHOUT those env vars, pass the coordinator kwargs
+    explicitly — guessing wrong here would silently train N disconnected
+    replicas (each host would see only its local chips).
     """
+    import os
+
     import jax
 
-    if kwargs or int(__import__("os").environ.get("JAX_NUM_PROCESSES", "1")) > 1:
+    multi_host_env = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+        )
+    ) or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+    if kwargs or multi_host_env:
         jax.distributed.initialize(**kwargs)
     return jax.device_count()

@@ -36,6 +36,7 @@ from gaussian_splatterer_tpu.config import RuntimeConfig
 from gaussian_splatterer_tpu.models.splats import SplatModel
 from gaussian_splatterer_tpu.train.trainer import (
     CameraBatch,
+    fused_kw_from_runtime,
     LearningRates,
     RenderFn,
     TrainMetrics,
@@ -51,18 +52,10 @@ def make_camera_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CAMERA_AXIS,))
 
 
-def _fused_kw(runtime: Optional[RuntimeConfig]) -> dict:
-    if runtime is None:
-        return {}
-    return dict(
-        tile=runtime.tile_px, max_dup=runtime.max_dup,
-        mm_bf16=getattr(runtime, "train_mm_bf16", True),
-        chunk=getattr(runtime, "train_chunk", 256),
-        work_cap=getattr(runtime, "train_work_cap", None),
-        aa=getattr(runtime, "mip_antialias", False),
-        fast_exp=getattr(runtime, "train_fast_exp", False),
-        mm_power=getattr(runtime, "train_mm_power", False),
-    )
+# the canonical RuntimeConfig -> fused-kernel options mapping lives next
+# to the Trainer; parallel builders share it so single-chip and multi-chip
+# steps can never train with different kernel options
+_fused_kw = fused_kw_from_runtime
 
 
 def make_local_accumulate(
@@ -141,9 +134,17 @@ def make_local_accumulate(
                 jnp.int32(0),
                 jnp.int32(0),
             )
-            (g_sum, var_sum, loss_sum, num_dup, num_work), _ = jax.lax.scan(
-                group_fn, init, xs
-            )
+            if n_local // group == 1:
+                # single group: skip lax.scan — its xs dynamic-slice copies
+                # the whole local truth batch every step (trainer.py,
+                # measured 12 ms at 8 frames/1024^2)
+                (g_sum, var_sum, loss_sum, num_dup, num_work), _ = group_fn(
+                    init, jax.tree.map(lambda x: x[0], xs)
+                )
+            else:
+                (g_sum, var_sum, loss_sum, num_dup, num_work), _ = jax.lax.scan(
+                    group_fn, init, xs
+                )
             return g_sum, var_sum, loss_sum, num_dup, num_work
 
         return local_accumulate, True

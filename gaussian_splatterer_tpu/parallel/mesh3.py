@@ -33,12 +33,11 @@ from gaussian_splatterer_tpu.config import RuntimeConfig
 from gaussian_splatterer_tpu.models.splats import SplatModel
 from gaussian_splatterer_tpu.parallel.dp import CAMERA_AXIS, _fused_kw
 from gaussian_splatterer_tpu.parallel.fsdp import SPLAT_AXIS
-from gaussian_splatterer_tpu.parallel.tp import TILE_AXIS
+from gaussian_splatterer_tpu.parallel.tp import TILE_AXIS, make_band_accumulate
 from gaussian_splatterer_tpu.train.trainer import (
     CameraBatch,
     LearningRates,
     TrainMetrics,
-    _largest_divisor_leq,
 )
 
 
@@ -89,10 +88,7 @@ def make_3d_train_step(
     pre-tiled channel-major with frames over 'camera' and tile ROWS over
     'tile' (shard_truths_3d).  2F must divide the camera axis; the tile-row
     count must divide the tile axis.  Fused tiled path only."""
-    from gaussian_splatterer_tpu.ops.raster_tiled import (
-        max_frame_group,
-        render_train_grads_batch,
-    )
+    from gaussian_splatterer_tpu.ops.raster_tiled import max_frame_group
 
     fkw = _fused_kw(runtime)
     tile = fkw.get("tile", 32)
@@ -122,49 +118,9 @@ def make_3d_train_step(
         num_dup=P(), num_work=P(),
     )
 
-    def local_accumulate(params, active, capacity, truths, cams, bgs):
-        y_off = (jax.lax.axis_index(TILE_AXIS) * band_h).astype(jnp.float32)
-        n_local = truths.shape[0]
-        group = _largest_divisor_leq(n_local, frame_group)
-        xs = jax.tree.map(
-            lambda x: x.reshape(n_local // group, group, *x.shape[1:]),
-            (truths, cams.view, cams.proj_view, cams.cam_pos,
-             cams.tan_fovx, cams.tan_fovy, bgs),
-        )
-
-        def group_fn(carry, xg):
-            g_sum, var_sum, loss_sum, ndup, nwork = carry
-            truth_g, view_g, pv_g, pos_g, tx_g, ty_g, bg_g = xg
-            l_sum, g, d_means_b, _, nd, nw = render_train_grads_batch(
-                *params, active, view_g, pv_g, pos_g, tx_g, ty_g,
-                width, height, truth_g, bg_g, sh_degree,
-                band=(y_off, band_h), frame_loc_grads=True, **fkw,
-            )
-            # band partials reduce BEFORE the nonlinear norm (tp.py)
-            d_means_b = jax.lax.psum(d_means_b, TILE_AXIS)
-            g = (jnp.sum(d_means_b, axis=0),) + tuple(g[1:])
-            var = jnp.sum(
-                jnp.sqrt(jnp.sum(jnp.square(d_means_b), axis=-1)), axis=0
-            )
-            return (
-                jax.tree.map(jnp.add, g_sum, g),
-                var_sum + var,
-                loss_sum + l_sum,
-                jnp.maximum(ndup, nd),
-                jnp.maximum(nwork, nw),
-            ), None
-
-        init = (
-            jax.tree.map(jnp.zeros_like, params),
-            jnp.zeros((capacity,), jnp.float32),
-            jnp.float32(0.0),
-            jnp.int32(0),
-            jnp.int32(0),
-        )
-        (g_sum, var_sum, loss_sum, num_dup, num_work), _ = jax.lax.scan(
-            group_fn, init, xs
-        )
-        return g_sum, var_sum, loss_sum, num_dup, num_work
+    local_accumulate = make_band_accumulate(
+        width, height, sh_degree, fkw, band_h, frame_group
+    )
 
     @partial(
         jax.shard_map,

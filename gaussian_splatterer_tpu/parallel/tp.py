@@ -63,44 +63,16 @@ def shard_truths_tp(mesh: Mesh, truth_tiles: jax.Array) -> jax.Array:
     )
 
 
-def make_tp_train_step(
-    mesh: Mesh,
-    width: int,
-    height: int,
-    sh_degree: int,
-    runtime: Optional[RuntimeConfig] = None,
-    frame_group: int = 8,
-):
-    """Sharded (model, truths, cams, lrs) -> (model', metrics) step over a
-    ('camera', 'tile') mesh.
+def make_band_accumulate(width, height, sh_degree, fkw, band_h, frame_group):
+    """Per-device frame loop for band-sharded rasterization: returns
+    (params, active, capacity, truths, cams, bgs) -> SUMS over the local
+    frames of (grads, densify variance, loss, num_dup, num_work), with the
+    per-frame location gradients psum'd over TILE_AXIS BEFORE the
+    nonlinear variance norm (exactness — module docstring).  Shared by the
+    2-axis tp step and the 3-axis mesh3 step."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import render_train_grads_batch
 
-    truths: (2F, T, 8, tile*tile) pre-tiled channel-major
-    (ops.raster_tiled.image_to_tiles_cm) with 2F divisible by the camera
-    axis and the tile-ROW count divisible by the tile axis.  Model and
-    learning rates are replicated.  Only the fused tiled path is supported
-    on this axis (band rasterization is a property of the fused kernel)."""
-    from gaussian_splatterer_tpu.ops.raster_tiled import (
-        max_frame_group,
-        render_train_grads_batch,
-    )
-
-    fkw = _fused_kw(runtime)
-    tile = fkw.get("tile", 32)
-    n_cam_ax, n_band = mesh.shape[CAMERA_AXIS], mesh.shape[TILE_AXIS]
-    ty_tiles = -(-height // tile)
-    assert ty_tiles % n_band == 0, (
-        f"tile rows ({ty_tiles}) must divide evenly into {n_band} bands"
-    )
-    band_h = (ty_tiles // n_band) * tile
-    frame_group = min(
-        frame_group,
-        max_frame_group(
-            width, height, tile, fkw.get("max_dup", 2**18),
-            fkw.get("chunk", 128),
-        ),
-    )
-
-    def local_accumulate(params, active, capacity, truths, cams, bgs):
+    def band_accumulate(params, active, capacity, truths, cams, bgs):
         y_off = (jax.lax.axis_index(TILE_AXIS) * band_h).astype(jnp.float32)
         n_local = truths.shape[0]
         group = _largest_divisor_leq(n_local, frame_group)
@@ -140,10 +112,58 @@ def make_tp_train_step(
             jnp.int32(0),
             jnp.int32(0),
         )
+        if n_local // group == 1:
+            # single group: skip lax.scan (xs dynamic-slice copies the
+            # whole local truth batch every step — trainer.py)
+            return group_fn(init, jax.tree.map(lambda x: x[0], xs))[0]
         (g_sum, var_sum, loss_sum, num_dup, num_work), _ = jax.lax.scan(
             group_fn, init, xs
         )
         return g_sum, var_sum, loss_sum, num_dup, num_work
+
+    return band_accumulate
+
+
+def make_tp_train_step(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    sh_degree: int,
+    runtime: Optional[RuntimeConfig] = None,
+    frame_group: int = 8,
+):
+    """Sharded (model, truths, cams, lrs) -> (model', metrics) step over a
+    ('camera', 'tile') mesh.
+
+    truths: (2F, T, 8, tile*tile) pre-tiled channel-major
+    (ops.raster_tiled.image_to_tiles_cm) with 2F divisible by the camera
+    axis and the tile-ROW count divisible by the tile axis.  Model and
+    learning rates are replicated.  Only the fused tiled path is supported
+    on this axis (band rasterization is a property of the fused kernel)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        max_frame_group,
+        render_train_grads_batch,
+    )
+
+    fkw = _fused_kw(runtime)
+    tile = fkw.get("tile", 32)
+    n_cam_ax, n_band = mesh.shape[CAMERA_AXIS], mesh.shape[TILE_AXIS]
+    ty_tiles = -(-height // tile)
+    assert ty_tiles % n_band == 0, (
+        f"tile rows ({ty_tiles}) must divide evenly into {n_band} bands"
+    )
+    band_h = (ty_tiles // n_band) * tile
+    frame_group = min(
+        frame_group,
+        max_frame_group(
+            width, height, tile, fkw.get("max_dup", 2**18),
+            fkw.get("chunk", 128),
+        ),
+    )
+
+    local_accumulate = make_band_accumulate(
+        width, height, sh_degree, fkw, band_h, frame_group
+    )
 
     @partial(
         jax.shard_map,

@@ -123,6 +123,25 @@ def _default_render(
     raise ValueError(f"unknown renderer {kind!r}")
 
 
+def fused_kw_from_runtime(runtime: Optional[RuntimeConfig]) -> dict:
+    """Fused-kernel options derived from RuntimeConfig — THE single mapping,
+    shared by Trainer._build_step and every parallel step builder
+    (parallel/dp.py re-exports it).  A field missed in one copy would
+    silently train single-chip and multi-chip with different kernel
+    options."""
+    if runtime is None:
+        return {}
+    return dict(
+        tile=runtime.tile_px, max_dup=runtime.max_dup,
+        mm_bf16=getattr(runtime, "train_mm_bf16", True),
+        chunk=getattr(runtime, "train_chunk", 256),
+        work_cap=getattr(runtime, "train_work_cap", None),
+        aa=getattr(runtime, "mip_antialias", False),
+        fast_exp=getattr(runtime, "train_fast_exp", False),
+        mm_power=getattr(runtime, "train_mm_power", False),
+    )
+
+
 def _largest_divisor_leq(n: int, k: int) -> int:
     k = max(1, min(n, k))
     while n % k:
@@ -341,22 +360,18 @@ class Trainer:
             self._tile_space = runtime.tile_px
             fused = True
             self._fused = True
-            fused_opts = dict(
-                tile=runtime.tile_px, max_dup=runtime.max_dup,
-                mm_bf16=getattr(runtime, "train_mm_bf16", True),
-                chunk=getattr(runtime, "train_chunk", 256),
-                work_cap=getattr(runtime, "train_work_cap", None),
-                aa=getattr(runtime, "mip_antialias", False),
-                fast_exp=getattr(runtime, "train_fast_exp", False),
-                mm_power=getattr(runtime, "train_mm_power", False),
-            )
+            fused_opts = fused_kw_from_runtime(runtime)
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,
             runtime.sh_degree,
             renderer=self.renderer,
             row_chunk=self.row_chunk,
-            render_fn=self._render_fn if self._user_render else None,
+            # thread the runtime-configured renderer even when it is the
+            # default: the bare make_train_step fallback would bin with
+            # render_tiled's baked defaults (tile 16, max_dup 2^19, no AA)
+            # on the non-fused tiled path
+            render_fn=self._render_fn,
             fused=fused,
             fused_opts=fused_opts,
             frame_group=runtime.frame_group,
@@ -599,10 +614,15 @@ class Trainer:
             self.truth_cams.tan_fovy[i],
             self.runtime.render_resolution_x, self.runtime.render_resolution_y,
             self.runtime.sh_degree, 1.0,
+            aa=getattr(self.runtime, "mip_antialias", False),
         )
+        # bin with the TRAIN path's configured chunk/AA: a mismatch here
+        # over-reports num_dup (AA fades sub-pixel splats' tile AABBs) and
+        # prompts oversizing max_dup
         bins = bin_splats(
             c, self.runtime.render_resolution_x, self.runtime.render_resolution_y,
-            self.runtime.tile_px, self.runtime.max_dup, 128,
+            self.runtime.tile_px, self.runtime.max_dup,
+            getattr(self.runtime, "train_chunk", 256),
         )
         num = int(bins.num_dup)
         return {
