@@ -84,9 +84,15 @@ def save_checkpoint_sharded(
     """Save a (possibly sharded) model without gathering it to the host.
 
     Works for replicated single-chip models too; all processes of a
-    multi-host run must call this collectively."""
+    multi-host run must call this collectively (the array save is an
+    orbax collective; directory rotation and metadata are process-0-only
+    with barriers around them — shared-filesystem semantics)."""
+    import jax
     import orbax.checkpoint as ocp
+    from jax.experimental import multihost_utils
 
+    proc0 = jax.process_index() == 0
+    multi = jax.process_count() > 1
     tree = {
         "means": model.means,
         "shs": model.shs,
@@ -96,24 +102,29 @@ def save_checkpoint_sharded(
         "count": model.count,
     }
     arrays_dir = os.path.join(os.path.abspath(directory), "arrays")
-    if os.path.exists(arrays_dir):
+    if proc0 and os.path.exists(arrays_dir):
         # orbax refuses to overwrite; replace atomically-ish via a sibling
         import shutil
 
         shutil.rmtree(arrays_dir + ".old", ignore_errors=True)
         os.replace(arrays_dir, arrays_dir + ".old")
+    if multi:
+        multihost_utils.sync_global_devices("gsplat_sharded_ckpt_pre")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(arrays_dir, tree)
     ckptr.wait_until_finished()
-    meta = {
-        "format_version": FORMAT_VERSION,
-        "sh_degree": int(model.sh_degree),
-        "project": project.to_json() if project is not None else None,
-    }
-    tmp = os.path.join(directory, "meta.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(directory, "meta.json"))
+    if proc0:
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "sh_degree": int(model.sh_degree),
+            "project": project.to_json() if project is not None else None,
+        }
+        tmp = os.path.join(directory, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(directory, "meta.json"))
+    if multi:
+        multihost_utils.sync_global_devices("gsplat_sharded_ckpt_post")
 
 
 def load_checkpoint_sharded(

@@ -180,6 +180,22 @@ def main():
     )(new3.means)
     means_sum3 = float(jnp_sum_replicated(means3_repl))
 
+    # --- sharded checkpoint across the process boundary: every process
+    # saves its own shards (collective), then restores into the same
+    # sharding and must see the identical global model
+    from gaussian_splatterer_tpu.io.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    ckpt_dir = os.path.join(outdir, "sharded_ckpt")
+    save_checkpoint_sharded(ckpt_dir, new3)
+    back, _ = load_checkpoint_sharded(ckpt_dir, like=new3)
+    back_repl = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh3, P())
+    )(back.means)
+    ckpt_means_sum = float(jnp_sum_replicated(back_repl))
+
     out = {
         "process": pid,
         "global_devices": n_global,
@@ -187,6 +203,7 @@ def main():
         "means_sum": means_sum,
         "loss_mesh3": loss3,
         "means_sum_mesh3": means_sum3,
+        "ckpt_means_sum": ckpt_means_sum,
     }
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as fh:
         json.dump(out, fh)

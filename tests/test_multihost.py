@@ -106,3 +106,8 @@ def test_two_process_dp_matches_single_controller(tmp_path):
     for r in results:
         assert r["loss_mesh3"] == pytest.approx(ref_loss, rel=1e-5)
         assert r["means_sum_mesh3"] == pytest.approx(ref_means_sum, rel=1e-4)
+        # the sharded orbax checkpoint round-tripped collectively across
+        # both processes and restored the identical global model
+        assert r["ckpt_means_sum"] == pytest.approx(
+            r["means_sum_mesh3"], rel=1e-6
+        )
