@@ -638,3 +638,84 @@ def test_mip_aa_zero_scale_gradients_finite():
     for g in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(g)).all(), "NaN gradient with aa=True"
     assert np.isfinite(np.asarray(var)).all()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_fused_path_random_config_fuzz(seed):
+    """Config-space fuzz: random (tile, chunk, max_dup, sh_degree, splat
+    count, camera) draws must keep the fused frame-batched path in
+    agreement with the per-frame render + jax.vjp path.  Fixed combos are
+    tested elsewhere; this guards the corners the grid misses (chunk >
+    segment sizes, tiny dup buffers, degree-2 SH, off-center cameras)."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles,
+        image_to_tiles_cm,
+        render_tiled_tiles,
+        render_train_grads_batch,
+    )
+
+    rng = np.random.default_rng(seed)
+    tile = int(rng.choice([8, 16, 32]))
+    chunk = int(rng.choice([32, 64, 128]))
+    max_dup = int(rng.choice([512, 1024, 4096]))
+    degree = int(rng.choice([1, 2]))
+    n = int(rng.integers(5, 40))
+    res = 64
+
+    k = (degree + 1) ** 2
+    cap = 64
+    means = np.zeros((cap, 3), np.float32)
+    means[:n] = rng.uniform(-2.5, 2.5, (n, 3))
+    shs = np.zeros((cap, k, 3), np.float32)
+    shs[:n] = rng.normal(0, 0.4, (n, k, 3))
+    scales = np.zeros((cap, 3), np.float32)
+    scales[:n] = rng.uniform(0.03, 0.5, (n, 3))
+    opac = np.zeros((cap,), np.float32)
+    opac[:n] = rng.uniform(0.2, 1.0, n)
+    rot = np.zeros((cap, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot[:n] = rng.normal(0, 1, (n, 4))
+    active = jnp.asarray(np.arange(cap) < n)
+    params = tuple(map(jnp.asarray, (means, shs, scales, opac, rot)))
+
+    cam = Camera(
+        rng.uniform(-1, 1, 3).astype(np.float32)
+        + np.array([0, 0, -7], np.float32),
+        rng.uniform(-0.3, 0.3, 3).astype(np.float32),
+        float(rng.uniform(40, 80)),
+    )
+    view = jnp.asarray(cam.get_view())
+    pv = jnp.asarray(cam.get_proj_view(1.0))
+    tx, ty = cam.tan_fov(res, res, train=True)
+    truth = jnp.asarray(rng.uniform(0, 1, (res, res, 3)).astype(np.float32))
+    tt = image_to_tiles_cm(truth, tile)
+    bg = jnp.asarray(rng.uniform(0, 1, 3).astype(np.float32))
+
+    loss_f, grads_f, _, _, nd, _ = render_train_grads_batch(
+        *params, active, view[None], pv[None], jnp.asarray(cam.location)[None],
+        jnp.asarray(tx, jnp.float32)[None], jnp.asarray(ty, jnp.float32)[None],
+        res, res, tt[None], bg[None], degree,
+        tile=tile, chunk=chunk, max_dup=max_dup, interpret=True,
+    )
+    assert int(nd) <= max_dup, "fuzz draw overflowed; shrink the scene"
+
+    # reference: tile-space render + jax.vjp with residual cotangent
+    def render_fn(p):
+        return render_tiled_tiles(
+            *p, active, view, pv, jnp.asarray(cam.location), tx, ty,
+            res, res, bg, degree, 1.0,
+            tile=tile, chunk=chunk, max_dup=max_dup, interpret=True,
+        )
+
+    img_tiles, pull = jax.vjp(render_fn, params)
+    residual = image_to_tiles(truth, tile) - img_tiles
+    grads_r = pull(residual)[0]
+    loss_r = jnp.mean(jnp.square(residual))
+    np.testing.assert_allclose(float(loss_f), float(loss_r), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_r)):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+            err_msg=f"config tile={tile} chunk={chunk} max_dup={max_dup} "
+                    f"degree={degree} n={n}",
+        )
