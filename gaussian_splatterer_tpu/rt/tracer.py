@@ -4,9 +4,17 @@ TPU-native replacement for the reference's OptiX/OWL ray tracer
 (src/rtx/RtxDevice.cu + src/rtx/RtxHost.cpp).  No RT cores on TPU, so
 instead of a BVH + divergent per-ray traversal this evaluates
 Möller-Trumbore intersection as dense (ray-chunk x triangle-chunk)
-component planes on the VPU — rays on sublanes, triangles on lanes — with
-a lax.scan min-reduction over triangle chunks and a bounce while-loop that
-exits as soon as every ray in the chunk has terminated.
+component planes — rays on sublanes, triangles on lanes — with a lax.scan
+min-reduction over triangle chunks and a bounce while-loop that exits as
+soon as every ray in the chunk has terminated.
+
+The PRIMARY pass (every ray shares the eye origin — the bulk of all
+intersection work once misses terminate at bounce 0) runs on the MXU:
+shared-origin Möller-Trumbore collapses to one (R, 3) x (3, 3*Tc) matmul
+per triangle chunk (_intersect_shared; measured 684 -> 1.3 ms per 1-sample
+1024² frame — the old per-ray chunk gathers, not the arithmetic, were the
+cost).  Scattered bounce rays keep the VPU component form, either brute
+force or Morton-chunk AABB culling (_intersect_culled).
 
 Semantics preserved from the reference device program:
   * primary rays: sub-pixel jitter ``pixel + rand2 + 0.5``, NDC point at
@@ -194,6 +202,101 @@ def _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     return t, i, u, v
 
 
+def _intersect_shared(o3, dx, dy, dz, tris, tri_chunk: int):
+    """Möller-Trumbore for a SHARED-origin ray batch (the primary pass:
+    every camera ray starts at the eye) as one MXU matmul per tri chunk.
+
+    With a common origin the four MT quantities are all 3-term dots of the
+    ray DIRECTION against per-triangle vectors (w = o - a; cyclic triple
+    products):
+        det   = e1 . (d x e2) = d . (e2 x e1)
+        u_num = w  . (d x e2) = d . (e2 x w)
+        v_num = d  . (w x e1)
+        t_num = e2 . (w x e1)          (per-triangle scalar: no ray term)
+    so one (R, 3) x (3, 3*Tc) matmul evaluates det/u_num/v_num for every
+    (ray, triangle) pair — ~40 VPU ops/pair in the component form collapse
+    to 18 MXU FLOPs/pair + a ~12-op epilogue.  The cancellation-sensitive
+    t_num = e2.((o-a) x e1) stays in exact per-triangle f32 (same
+    conditioning as the component path), and the matmul runs at
+    precision=HIGHEST — the TPU's default single-pass bf16 matmul is
+    measured poison for geometry (PERF.md).
+
+    Returns (t, tri_idx, bu, bv) per ray; t = inf on miss — the same
+    contract as _intersect_chunked, with u/v/t differing only by f32
+    rounding between algebraically equal formulas."""
+    r = dx.shape[0]
+    n_chunks = tris["ax"].shape[0] // tri_chunk
+
+    wx = o3[0] - tris["ax"]
+    wy = o3[1] - tris["ay"]
+    wz = o3[2] - tris["az"]
+    e1x, e1y, e1z = tris["e1x"], tris["e1y"], tris["e1z"]
+    e2x, e2y, e2z = tris["e2x"], tris["e2y"], tris["e2z"]
+    # column blocks of the (3, 3T) feature matrix: [e2 x e1 | e2 x w | w x e1]
+    fdx = e2y * e1z - e2z * e1y
+    fdy = e2z * e1x - e2x * e1z
+    fdz = e2x * e1y - e2y * e1x
+    fux = e2y * wz - e2z * wy
+    fuy = e2z * wx - e2x * wz
+    fuz = e2x * wy - e2y * wx
+    fvx = wy * e1z - wz * e1y
+    fvy = wz * e1x - wx * e1z
+    fvz = wx * e1y - wy * e1x
+    t_num = e2x * fvx + e2y * fvy + e2z * fvz
+    feats = jnp.stack(
+        [fdx, fux, fvx, fdy, fuy, fvy, fdz, fuz, fvz]
+    )  # (9, T): three rows (d component) x three column blocks
+    d_mat = jnp.stack([dx, dy, dz], axis=1)  # (R, 3)
+
+    def chunk_body(carry, ck):
+        best_t, best_i, best_u, best_v = carry
+        g9 = jax.lax.dynamic_slice_in_dim(
+            feats, ck * tri_chunk, tri_chunk, axis=1
+        )  # (9, Tc)
+        g = g9.reshape(3, 3 * tri_chunk)
+        tn = jax.lax.dynamic_slice_in_dim(t_num, ck * tri_chunk, tri_chunk)
+        valid = jax.lax.dynamic_slice_in_dim(
+            tris["valid"], ck * tri_chunk, tri_chunk
+        )
+        nums = jax.lax.dot_general(
+            d_mat, g, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (R, 3Tc): [det | u_num | v_num] column blocks
+        det = nums[:, 0:tri_chunk]
+        u_num = nums[:, tri_chunk : 2 * tri_chunk]
+        v_num = nums[:, 2 * tri_chunk :]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        u = u_num * inv_det
+        v = v_num * inv_det
+        t = tn[None, :] * inv_det
+        hit = (
+            valid[None, :]
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_TMIN)
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)  # (R,)
+        rr = jnp.arange(r)
+        tj = t[rr, j]
+        closer = tj < best_t
+        best_t = jnp.where(closer, tj, best_t)
+        best_i = jnp.where(closer, ck * tri_chunk + j, best_i)
+        best_u = jnp.where(closer, u[rr, j], best_u)
+        best_v = jnp.where(closer, v[rr, j], best_v)
+        return (best_t, best_i, best_u, best_v), None
+
+    init = (
+        jnp.full((r,), jnp.inf, jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    (t, i, u, v), _ = jax.lax.scan(
+        chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return t, i, u, v
+
+
 def _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     if "bb_minx" in tris:
         return _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
@@ -210,6 +313,74 @@ def _unit_sphere(key, shape):
     return g * rad[..., None]
 
 
+def _bounce_step(tris, texture, background, env, tri_chunk: int,
+                 ox, oy, oz, dx, dy, dz, atten, result, alive, reflected,
+                 key, shared_origin=None):
+    """One path-tracing bounce for a flat ray batch (the reference device
+    loop body, RtxDevice.cu:105-158).  Returns the updated state tuple plus
+    this step's raw intersection distance (inf on miss — the primary pass
+    uses it for the orb overlay).
+
+    ``env``: optional (He, We, 3) equirectangular environment map replacing
+    the reference's hard-coded white-gradient sky for BOUNCED miss rays
+    (the RtxDevice.cu:155 TODO; primary misses keep the background color
+    per the reference semantic).  Nearest-neighbor lookup."""
+    r = ox.shape[0]
+    th, tw = texture.shape[0], texture.shape[1]
+    kalpha, kscatter = jax.random.split(key)
+    if shared_origin is not None:
+        # primary pass: all rays share the eye — MXU matmul intersector
+        t, tri, bu, bv = _intersect_shared(
+            shared_origin, dx, dy, dz, tris, tri_chunk
+        )
+    else:
+        t, tri, bu, bv = _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
+    hit = alive & jnp.isfinite(t)
+
+    # miss: sky color; never-reflected primary rays get the background
+    if env is None:
+        sky = jnp.minimum(1.0, 1.0 + dy)[:, None]
+    else:
+        eh, ew = env.shape[0], env.shape[1]
+        u = jnp.arctan2(dz, dx) * (0.5 / jnp.pi) + 0.5
+        v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / jnp.pi)
+        exi = jnp.clip((u * ew).astype(jnp.int32), 0, ew - 1)
+        eyi = jnp.clip((v * eh).astype(jnp.int32), 0, eh - 1)
+        sky = env[eyi, exi]
+    miss_color = atten * sky
+    miss_out = jnp.where(reflected[:, None], miss_color, background[None, :])
+    missed = alive & ~jnp.isfinite(t)
+    result = jnp.where(missed[:, None], miss_out, result)
+
+    # surface data at the hit
+    uvx = (1.0 - bu - bv) * tris["uv0x"][tri] + bu * tris["uv1x"][tri] + bv * tris["uv2x"][tri]
+    uvy = (1.0 - bu - bv) * tris["uv0y"][tri] + bu * tris["uv1y"][tri] + bv * tris["uv2y"][tri]
+    # nearest-neighbor, wrap addressing, flipped V
+    px = jnp.mod(jnp.floor(uvx * tw), tw).astype(jnp.int32)
+    py = jnp.mod(jnp.floor((1.0 - uvy) * th), th).astype(jnp.int32)
+    texel = texture[py, px]  # (R, 4)
+
+    # stochastic alpha: texture.w > rand -> material hit
+    u_alpha = jax.random.uniform(kalpha, (r,))
+    solid = hit & (texel[:, 3] > u_alpha)
+
+    nx, ny, nz = tris["nx"][tri], tris["ny"][tri], tris["nz"][tri]
+    scatter = jnp.stack([nx, ny, nz], -1) + _unit_sphere(kscatter, (r,))
+
+    tsafe = jnp.where(jnp.isfinite(t), t, 0.0)
+    ox = jnp.where(hit, ox + tsafe * dx, ox)
+    oy = jnp.where(hit, oy + tsafe * dy, oy)
+    oz = jnp.where(hit, oz + tsafe * dz, oz)
+    dx = jnp.where(solid, scatter[:, 0], dx)
+    dy = jnp.where(solid, scatter[:, 1], dy)
+    dz = jnp.where(solid, scatter[:, 2], dz)
+    atten = jnp.where(solid[:, None], atten * texel[:, 0:3], atten)
+    reflected = reflected | solid
+    alive = alive & hit  # miss rays are done; hit rays continue
+
+    return (ox, oy, oz, dx, dy, dz, atten, result, alive, reflected), t
+
+
 def trace_rays(tris, texture, origins, dirs, bounces, background, key,
                tri_chunk: int, env=None):
     """Trace one batch of primary rays to completion.
@@ -217,84 +388,39 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
     origins/dirs: (R, 3).  Returns (color (R, 3), primary_t (R,)) where
     primary_t is the first-hit distance (inf on miss) for the orb overlay.
 
-    ``env``: optional (He, We, 3) equirectangular environment map replacing
-    the reference's hard-coded white-gradient sky for BOUNCED miss rays
-    (the RtxDevice.cu:155 TODO; primary misses keep the background color
-    per the reference semantic).  Nearest-neighbor lookup."""
+    The production capture path (render_rtx_sums) instead traces primaries
+    for the WHOLE frame, compacts the surviving rays, and only bounce-loops
+    the compacted chunks — same math, ~an order of magnitude less device
+    work when most primaries miss or terminate early."""
     r = origins.shape[0]
-    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
-    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    th, tw = texture.shape[0], texture.shape[1]
-
-    atten = jnp.ones((r, 3), jnp.float32)
-    result = jnp.zeros((r, 3), jnp.float32)
-    alive = jnp.ones((r,), bool)
-    reflected = jnp.zeros((r,), bool)
+    background = jnp.asarray(background, jnp.float32)
+    state = (
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        dirs[:, 0], dirs[:, 1], dirs[:, 2],
+        jnp.ones((r, 3), jnp.float32),   # atten
+        jnp.zeros((r, 3), jnp.float32),  # result
+        jnp.ones((r,), bool),            # alive
+        jnp.zeros((r,), bool),           # reflected
+    )
     primary_t = jnp.full((r,), jnp.inf, jnp.float32)
 
-    def cond(state):
-        i, _, _, _, _, alive, _, _, _ = state
-        return (i < bounces) & jnp.any(alive)
+    def cond(s):
+        i, state, _, _ = s
+        return (i < bounces) & jnp.any(state[8])
 
-    def body(state):
-        i, (ox, oy, oz), (dx, dy, dz), atten, result, alive, reflected, primary_t, key = state
-        key, kalpha, kscatter = jax.random.split(key, 3)
-        t, tri, bu, bv = _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
-        hit = alive & jnp.isfinite(t)
+    def body(s):
+        i, state, primary_t, key = s
+        key, kb = jax.random.split(key)
+        state, t = _bounce_step(
+            tris, texture, background, env, tri_chunk, *state, kb
+        )
         primary_t = jnp.where((i == 0) & jnp.isfinite(t), t, primary_t)
+        return i + 1, state, primary_t, key
 
-        # miss: sky color; never-reflected primary rays get the background
-        if env is None:
-            sky = jnp.minimum(1.0, 1.0 + dy)[:, None]
-        else:
-            eh, ew = env.shape[0], env.shape[1]
-            u = jnp.arctan2(dz, dx) * (0.5 / jnp.pi) + 0.5
-            v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / jnp.pi)
-            exi = jnp.clip((u * ew).astype(jnp.int32), 0, ew - 1)
-            eyi = jnp.clip((v * eh).astype(jnp.int32), 0, eh - 1)
-            sky = env[eyi, exi]
-        miss_color = atten * sky
-        miss_out = jnp.where(reflected[:, None], miss_color, background[None, :])
-        missed = alive & ~jnp.isfinite(t)
-        result = jnp.where(missed[:, None], miss_out, result)
-
-        # surface data at the hit
-        uvx = (1.0 - bu - bv) * tris["uv0x"][tri] + bu * tris["uv1x"][tri] + bv * tris["uv2x"][tri]
-        uvy = (1.0 - bu - bv) * tris["uv0y"][tri] + bu * tris["uv1y"][tri] + bv * tris["uv2y"][tri]
-        # nearest-neighbor, wrap addressing, flipped V
-        px = jnp.mod(jnp.floor(uvx * tw), tw).astype(jnp.int32)
-        py = jnp.mod(jnp.floor((1.0 - uvy) * th), th).astype(jnp.int32)
-        texel = texture[py, px]  # (R, 4)
-
-        # stochastic alpha: texture.w > rand -> material hit
-        u_alpha = jax.random.uniform(kalpha, (r,))
-        solid = hit & (texel[:, 3] > u_alpha)
-        passthrough = hit & ~solid
-
-        nx, ny, nz = tris["nx"][tri], tris["ny"][tri], tris["nz"][tri]
-        scatter = jnp.stack([nx, ny, nz], -1) + _unit_sphere(kscatter, (r,))
-
-        tsafe = jnp.where(jnp.isfinite(t), t, 0.0)
-        hx = ox + tsafe * dx
-        hy = oy + tsafe * dy
-        hz = oz + tsafe * dz
-        ox = jnp.where(hit, hx, ox)
-        oy = jnp.where(hit, hy, oy)
-        oz = jnp.where(hit, hz, oz)
-        dx = jnp.where(solid, scatter[:, 0], dx)
-        dy = jnp.where(solid, scatter[:, 1], dy)
-        dz = jnp.where(solid, scatter[:, 2], dz)
-        atten = jnp.where(solid[:, None], atten * texel[:, 0:3], atten)
-        reflected = reflected | solid
-        alive = alive & hit  # miss rays are done; hit rays continue
-
-        return (i + 1, (ox, oy, oz), (dx, dy, dz), atten, result, alive,
-                reflected, primary_t, key)
-
-    state = (jnp.int32(0), (ox, oy, oz), (dx, dy, dz), atten, result, alive,
-             reflected, primary_t, key)
-    state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, result, alive, _, primary_t, _ = state
+    _, state, primary_t, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, primary_t, key)
+    )
+    result, alive = state[7], state[8]
     # rays still alive after the bounce cap return black (already zeros)
     result = jnp.where(alive[:, None], 0.0, result)
     return result, primary_t
@@ -333,11 +459,26 @@ def render_rtx_sums(
     pxi = (pix % width).astype(jnp.float32)
     pyi = (pix // width).astype(jnp.float32)
 
-    def sample_pass(carry, k):
-        color_acc, orb_acc = carry
-        kj, kt = jax.random.split(k)
+    n_chunks = n_pad // ray_chunk
 
-        def chunk_fn(c):
+    def sample_pass(carry, k):
+        """One path-traced sample for every pixel, in two phases:
+
+        1. PRIMARY: generate + intersect camera rays for all chunks (one
+           bounce step each — no loop).
+        2. BOUNCE: compact the surviving rays to the front of the frame
+           (stable sort on the dead flag — deterministic, so the culled
+           and brute-force intersectors still agree bit-for-bit), then
+           run the bounce while-loop per chunk.  All-dead chunks exit
+           their loop at iteration 0, so the tail-latency cost of "march
+           every chunk until its LAST ray dies" is only paid by the few
+           chunks that still hold live rays (typically <10% of rays
+           survive the primary bounce: misses die immediately).  Same
+           math, ~10x less device work on real captures."""
+        color_acc, orb_acc = carry
+        kj, kt, kb = jax.random.split(k, 3)
+
+        def primary_chunk(c):
             px = jax.lax.dynamic_slice_in_dim(pxi, c * ray_chunk, ray_chunk)
             py = jax.lax.dynamic_slice_in_dim(pyi, c * ray_chunk, ray_chunk)
             kk = jax.random.fold_in(kj, c)
@@ -362,11 +503,23 @@ def render_rtx_sums(
             dn = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
             d = jnp.stack([dx * dn, dy * dn, dz * dn], -1)
             o = jnp.broadcast_to(cam_location, (ray_chunk, 3))
-            color, primary_t = trace_rays(
-                tris, texture, o, d, bounces, background,
-                jax.random.fold_in(kt, c), tri_chunk, env,
+            state = (
+                o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                jnp.ones((ray_chunk, 3), jnp.float32),
+                jnp.zeros((ray_chunk, 3), jnp.float32),
+                jnp.ones((ray_chunk,), bool),
+                jnp.zeros((ray_chunk,), bool),
             )
-            color = jnp.clip(color, 0.0, 1.0)
+            state, primary_t = _bounce_step(
+                tris, texture, background, env, tri_chunk, *state,
+                jax.random.fold_in(kt, c), shared_origin=cam_location,
+            )
+            (sox, soy, soz, sdx, sdy, sdz, atten, result, alive, refl) = state
+            rows = jnp.stack([
+                sox, soy, soz, sdx, sdy, sdz,
+                atten[:, 0], atten[:, 1], atten[:, 2],
+                alive.astype(jnp.float32), refl.astype(jnp.float32),
+            ])  # (11, ray_chunk)
             # orb overlay: primary ray passes near a truth camera, not occluded
             if splat_cameras is not None and splat_cameras.shape[0] > 0:
                 rel = splat_cameras[None, :, :] - o[:, None, :]  # (R, K, 3)
@@ -383,11 +536,63 @@ def render_rtx_sums(
                 orb = jnp.any(near & visible, axis=1)
             else:
                 orb = jnp.zeros((ray_chunk,), bool)
-            return color, orb
+            return rows, jnp.transpose(result), orb
 
-        cols, orbs = jax.lax.map(chunk_fn, jnp.arange(n_pad // ray_chunk))
+        rows_c, pres_c, orbs = jax.lax.map(
+            primary_chunk, jnp.arange(n_chunks, dtype=jnp.int32)
+        )  # (NC, 11, R), (NC, 3, R), (NC, R)
+        rows = jnp.moveaxis(rows_c, 0, 1).reshape(11, n_pad)
+        pres = jnp.moveaxis(pres_c, 0, 1).reshape(3, n_pad)
+        alive_primary = rows[9] > 0.5
+
+        # ---- compact: survivors first (one row-gather — the fast path) --
+        iota = jnp.arange(n_pad, dtype=jnp.int32)
+        _, perm = jax.lax.sort_key_val(
+            (~alive_primary).astype(jnp.int32), iota, is_stable=True
+        )
+        _, inv_perm = jax.lax.sort_key_val(perm, iota, is_stable=False)
+        srows = rows[:, perm].reshape(11, n_chunks, ray_chunk)
+
+        def bounce_chunk(args):
+            st, c = args  # (11, ray_chunk), ()
+            state = (
+                st[0], st[1], st[2], st[3], st[4], st[5],
+                jnp.transpose(st[6:9]),
+                jnp.zeros((ray_chunk, 3), jnp.float32),
+                st[9] > 0.5,
+                st[10] > 0.5,
+            )
+
+            def cond(s):
+                i, state, _ = s
+                return (i < bounces) & jnp.any(state[8])
+
+            def body(s):
+                i, state, key = s
+                key, kk = jax.random.split(key)
+                state, _ = _bounce_step(
+                    tris, texture, background, env, tri_chunk, *state, kk
+                )
+                return i + 1, state, key
+
+            _, state, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(1), state, jax.random.fold_in(kb, c)),
+            )
+            result, alive = state[7], state[8]
+            # rays alive past the bounce cap return black (reference :57)
+            result = jnp.where(alive[:, None], 0.0, result)
+            return jnp.transpose(result)  # (3, ray_chunk)
+
+        bres_c = jax.lax.map(
+            bounce_chunk,
+            (jnp.moveaxis(srows, 1, 0), jnp.arange(n_chunks, dtype=jnp.int32)),
+        )  # (NC, 3, R)
+        bres = jnp.moveaxis(bres_c, 0, 1).reshape(3, n_pad)[:, inv_perm]
+        color = jnp.where(alive_primary[None, :], bres, pres)
+        color = jnp.clip(jnp.transpose(color), 0.0, 1.0)  # (n_pad, 3)
         return (
-            color_acc + cols.reshape(n_pad, 3)[:n_pix],
+            color_acc + color[:n_pix],
             orb_acc | orbs.reshape(n_pad)[:n_pix],
         ), None
 

@@ -16,6 +16,11 @@ import json
 import os
 import sys
 
+# Spawned as `python tests/multihost_runner.py ...`, which puts tests/ (not
+# the repo root) on sys.path — make the package importable without requiring
+# a pip install.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 LOCAL_DEVICES = 4
 RES = 64
 TILE = 16

@@ -152,6 +152,53 @@ def icosphere_like(n=12):
                         np.array(tri_uv, np.float32))
 
 
+def test_shared_origin_intersector_matches_component_mt():
+    """The primary pass's MXU matmul Möller-Trumbore (_intersect_shared)
+    agrees with the component-form brute force on hits, indices, and
+    distances (algebraically equal formulas; only f32 rounding differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatterer_tpu.rt import tracer as tr
+
+    mesh = icosphere_like(10)  # 200 triangles
+    host = RtxHost(tri_chunk=32, ray_chunk=256)
+    host.load_model(mesh, accel_min=10**9)  # brute path keeps no bb data
+    tris = host._tris
+
+    rng = np.random.default_rng(11)
+    o = np.array([0.3, -0.2, -6.0], np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    # aim most rays toward the sphere so hits dominate
+    d[:384] = (rng.normal(scale=0.3, size=(384, 3)).astype(np.float32)
+               + (np.array([0, 0, 0]) - o))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ox = np.broadcast_to(o[0], (512,))
+    oy = np.broadcast_to(o[1], (512,))
+    oz = np.broadcast_to(o[2], (512,))
+
+    t0, i0, u0, v0 = jax.jit(tr._intersect_chunked, static_argnums=7)(
+        ox, oy, oz, d[:, 0], d[:, 1], d[:, 2], tris, 32
+    )
+    t1, i1, u1, v1 = jax.jit(tr._intersect_shared, static_argnums=5)(
+        jnp.asarray(o), d[:, 0], d[:, 1], d[:, 2], tris, 32
+    )
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    hit0, hit1 = np.isfinite(t0), np.isfinite(t1)
+    # borderline (u/v/t within rounding of an inequality) rays may differ;
+    # this scene has none
+    np.testing.assert_array_equal(hit0, hit1)
+    assert hit0.sum() > 200, "scene should produce plenty of hits"
+    np.testing.assert_array_equal(np.asarray(i0)[hit0], np.asarray(i1)[hit0])
+    np.testing.assert_allclose(t1[hit0], t0[hit0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(u1)[hit0], np.asarray(u0)[hit0], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v1)[hit0], np.asarray(v0)[hit0], rtol=1e-3, atol=1e-4
+    )
+
+
 def test_culled_matches_bruteforce():
     """Morton-chunk AABB culling returns the same image as brute force."""
     mesh = icosphere_like(12)  # 288 triangles
