@@ -150,17 +150,22 @@ def gate_kernel_options():
         return float(loss), jax.tree.map(np.asarray, grads)
 
     try:
-        # strict option-numerics check in f32 (bf16 cumsums round each
-        # path's slightly-different inputs independently, inflating the
-        # diff ~10x past the options' true effect — measured 8.8e-3 vs
-        # 5e-4 in f32)
+        # option-numerics check in f32 (bf16 cumsums round each path's
+        # slightly-different inputs independently, inflating the diff past
+        # the options' true effect).  Measured on-chip after the round-3
+        # mm_power precision=HIGHEST fix: dloss_rel 5.5e-7, max grad dev
+        # 6.1e-3 relative-to-max (isolated alpha>=1/255 threshold flips
+        # from the options' last-ulp exponent differences — scattered
+        # single elements, not systematic error).  Tolerances sit ~3x
+        # above: the broken-mm_power failure mode this gate exists for
+        # measured dloss_rel 1.1e-2 and grad dev 5.2e+0.
         l0, g0 = run()
         l1, g1 = run(mm_power=True, fast_exp=True)
-        if not np.isfinite(l1) or abs(l1 - l0) > 1e-3 * max(abs(l0), 1e-6):
+        if not np.isfinite(l1) or abs(l1 - l0) > 1e-4 * max(abs(l0), 1e-6):
             return f"loss mismatch: {l0} vs {l1}"
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             scale = max(1e-3, float(np.max(np.abs(a))))
-            if not np.isfinite(b).all() or np.max(np.abs(a - b)) / scale > 5e-3:
+            if not np.isfinite(b).all() or np.max(np.abs(a - b)) / scale > 2e-2:
                 return f"grad deviation {np.max(np.abs(a - b)) / scale:.1e}"
         # then the full PRODUCTION composition (bf16 cumsums + both
         # options): compile + finite + loss sanity on the real chip

@@ -124,12 +124,18 @@ def _cumsum_lanes(x: jax.Array, bf16: bool = False) -> jax.Array:
     while lane-rotates contend for the vector unit.  (jnp.cumsum does not
     lower in Pallas TPU.)
 
-    bf16=True runs the matmul in single-pass bfloat16 with f32 MXU
-    accumulation (f32 matmuls are 3-6 chained bf16 passes on TPU).  With a
-    0/1 triangular matrix the products are exact, so the only error is the
-    one-time bf16 rounding of each INPUT element: |err| <= 2^-9 relative
-    per summand (~0.2%) — far below the MC noise of the truth images the
-    train path consumes, and never used on serve/parity paths."""
+    bf16=True casts the operands to bfloat16 explicitly (f32 MXU
+    accumulation either way).  MEASURED (prec probe, round 3): inside
+    Pallas a default-precision f32 dot lowers to a SINGLE bf16 MXU pass
+    anyway, so on TPU both paths are bit-identical; the flag only changes
+    interpret-mode (CPU) numerics and documents the intended contract.
+    With a 0/1 triangular matrix the products are exact, so the only
+    error is the one-time bf16 rounding of each INPUT element: |err| <=
+    2^-9 relative per summand (~0.2%) — far below the MC noise of the
+    truth images the train path consumes, and the source of the measured
+    ~5e-3 on-chip forward deviation the bench numerics gate allows.
+    precision=HIGHEST here would cost ~30% kernel time for ~1e-6 parity
+    (PERF.md); training does not need it."""
     if "cumsum" in _ABLATE:
         return x
     dt = jnp.bfloat16 if bf16 else jnp.float32
@@ -196,14 +202,19 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
              jnp.zeros((p_count, 2), f32)],
             axis=1,
         )  # (P, 8)
-        # f32 operands: Mosaic lowers this as chained-bf16-pass f32 MXU
-        # passes (exact enough; single-pass bf16 would destroy the
-        # cancellation between the quadratic terms)
+        # precision=HIGHEST is REQUIRED: Pallas lowers default-precision
+        # f32 dots as a single bf16 MXU pass (measured; BENCH_r02's gate
+        # caught residuals off by 1.0), and single-pass bf16 destroys the
+        # cancellation between the quadratic terms.
         # the exact two-difference power is <= 0 everywhere (PSD conic);
         # expansion rounding (~|coef| * 2^-23) must not push a splat's
         # brightest pixel to +eps and trip the `power <= 0` contrib gate
         # into dropping its full alpha
-        power = jnp.minimum(jnp.dot(basis, coef, preferred_element_type=f32), 0.0)
+        power = jnp.minimum(
+            jnp.dot(basis, coef, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST),
+            0.0,
+        )
         dx = dy = None
     else:
         px = (ox + p % tile).astype(f32)
@@ -242,9 +253,15 @@ def _grad_rows_moments(
     xy] in TILE-LOCAL coordinates (local x keeps |x| < tile — in global
     pixel coordinates the mx-shift subtractions below would cancel
     catastrophically).  Colors are likewise one (3, P) x (P, C) matmul.
-    Moment matmuls stay f32: their cost is ~6/128 of one compositing
-    cumsum, and bf16 rounding would amplify through the shift subtractions
-    by the (tile / splat extent)^2 condition number."""
+    The moment matmul runs at precision=HIGHEST: Pallas lowers default-
+    precision f32 dots as ONE bf16 MXU pass (measured — NOT the chained-
+    bf16 "f32" passes XLA documents for jnp ops), and that input rounding
+    amplifies through the shift subtractions by the (tile / splat
+    extent)^2 condition number — measured 57% relative error on scale/
+    rotation gradients at the bench gate scene before the fix.  Cost is
+    negligible: even at ~6 passes the matmul is ~6/128 of one compositing
+    cumsum.  The color matmul has no cancellation (0.2% bf16 rounding on
+    color gradients only), so it stays on the fast single-pass path."""
     f32 = jnp.float32
     p_count = tile * tile
     d_power = d_alpha * alpha_raw
@@ -255,7 +272,10 @@ def _grad_rows_moments(
         [jnp.ones((1, p_count), f32), lx, lx * lx, ly, ly * ly, lx * ly],
         axis=0,
     )  # (6, P)
-    s = jnp.dot(basis, d_power, preferred_element_type=f32)  # (6, C)
+    s = jnp.dot(
+        basis, d_power, preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, C)
     s0, sx, sxx, sy, syy, sxy = (s[k : k + 1, :] for k in range(6))
 
     ox = ((t % tx_tiles) * tile).astype(f32)
