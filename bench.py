@@ -41,8 +41,10 @@ MAX_DUP = 180224  # ~168k duplicates at this scene/tile; chunk-multiple
 # with ~7% headroom — the D-sized gradient-reduction sorts/cumsums scale
 # with this, so power-of-two rounding wasted 3.7 ms/frame (20.6 vs 24.2)
 CHUNK = 256  # 19% faster than 128 (fewer work items; matmuls stay hidden)
-WORK_CAP = 3072  # work-list budget: true count 2723 items/frame + slack
-# (the sound worst-case capacity is 6144 — pure pad slack costs grid steps)
+WORK_CAP = 2304  # work-list budget: true count 2163 items/frame + slack
+# (the window worklist needs fewer items than the old block scheme's 2723:
+# single-window tiles are one fused item regardless of block straddling;
+# the sound worst-case capacity is 5504 — pure pad slack costs grid steps)
 FRAMES = 8  # frames per fused launch (the trainer's default frame_group)
 REPS = 30
 REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)

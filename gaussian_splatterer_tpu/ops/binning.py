@@ -71,34 +71,49 @@ def work_capacity(num_tiles: int, max_dup: int, chunk: int) -> int:
     return 2 * num_tiles + max_dup // chunk
 
 
-class TwoPassWork(NamedTuple):
-    """Work list for the fused train kernel: each MULTI-chunk tile's chunks
-    appear twice back-to-back — a forward compositing pass, then a gradient
-    replay pass.  A tile whose duplicates fit ONE chunk gets a single FUSED
-    item that does forward + residual + gradients in one visit, reusing the
-    live compositing state (tiles average ~1.6 chunks at the headline
-    scene, so this halves the item count for roughly half the tiles).
+class WindowWork(NamedTuple):
+    """Work list for the WINDOW-fused train kernel: each tile's duplicate
+    segment is processed in ceil(seg/chunk) windows that start AT the
+    tile's own ``tile_start`` instead of at global chunk-aligned block
+    boundaries.  The kernel assembles each window from the two adjacent
+    aligned feature blocks with a dynamic lane roll (cheap: the feature
+    block is only (9, chunk)), so a tile whose segment merely STRADDLES a
+    block boundary no longer splits into two chunks — it stays a single
+    FUSED item (forward + residual + gradient replay in one visit).  At
+    the headline scene that boundary straddling affected ~64% of tiles
+    (4 items instead of 1), which made the work list ~2.7x longer than
+    the window count; windows cut the kernel's (pixel, splat) pair work
+    by the same factor.  Multi-window tiles keep the two-pass structure
+    (pass 1 windows, then gradient-replay windows).
 
-    W2 = 2 * work_capacity."""
+    W2 = 2 * work_capacity (loose static bound; work_cap budgets it)."""
 
     work_tile: jax.Array  # (W2,) int32
-    work_block: jax.Array  # (W2,) int32 (pads pinned to the last block so
-    # consecutive pad items never cycle the feature input buffer)
-    is_first: jax.Array  # (W2,) 1 on the tile's first pass-1 chunk
-    is_last_p1: jax.Array  # (W2,) 1 on the tile's last pass-1 chunk
+    w_start: jax.Array  # (W2,) int32 LOCAL duplicate column of the
+    # window's first element: tile_start + c * chunk (pads pinned to the
+    # last window so consecutive pads never cycle the feature buffers)
+    nvalid: jax.Array  # (W2,) int32 count of in-range window columns
+    # (tile_end - w_start clipped to [0, chunk]; 0 for pads/empty tiles)
+    is_first: jax.Array  # (W2,) 1 on the tile's first pass-1 window
+    is_last_p1: jax.Array  # (W2,) 1 on the tile's last pass-1 window
     is_pass2: jax.Array  # (W2,) 1 during the gradient replay pass
     is_pad: jax.Array  # (W2,) 1 for padding items
-    is_fused: jax.Array  # (W2,) 1 on single-chunk tiles' only item
-    slab_segment: jax.Array  # (W2,) feature-block id for slab-producing
-    # items (pass-2 and fused), else B (dump segment)
+    is_fused: jax.Array  # (W2,) 1 on single-window tiles' only item
     slab_pos: jax.Array  # (W2,) COMPACTED output-slot id for slab-producing
-    # items, else E (the dump slot).  Non-emitting grid steps (pads, pass-1)
-    # all target the dump slot, so the kernel's revolving gradient-slab
-    # output block only cycles on emitting items — pads stop paying a
-    # fetch+writeback per step (~1 us each; ~2/3 of the work list is pad
-    # slack at the headline scene).  E = min(work_capacity, work_cap).
-    seg_slot: jax.Array  # (E+1,) feature-block id per compacted slot
-    # (slot-indexed counterpart of slab_segment; [E] is the dump segment B)
+    # items (pass-2 and fused), else E (the dump slot).  Non-emitting grid
+    # steps (pads, pass-1) all target the dump slot, so the kernel's
+    # revolving gradient-slab output blocks only cycle on emitting items.
+    # E = min(work_capacity, work_cap).
+    seg_lo: jax.Array  # (E+1,) aligned feature-block id receiving the slab
+    # columns at window positions j >= chunk - (w_start % chunk); [E] is
+    # the dump segment B.  A window's gradient slab is split back onto its
+    # two covering aligned blocks by the kernel (pre-rolled + masked), and
+    # one segment_sum over (lo, hi) slabs rebuilds the dense per-duplicate
+    # gradient array.
+    seg_hi: jax.Array  # (E+1,) aligned block id for the slab's high part
+    # (block lo+1; content is exactly zero when the window's in-range
+    # columns end before the block boundary, so summing into a clamped id
+    # is harmless)
     num_work: jax.Array  # () int32 TRUE item count — may exceed W2 when a
     # work_cap budget clips the list (items past the budget are dropped;
     # callers grow the budget like the max_dup overflow machinery)
@@ -106,9 +121,9 @@ class TwoPassWork(NamedTuple):
 
 def emit_capacity(num_tiles: int, max_dup: int, chunk: int,
                   work_cap: int | None = None) -> int:
-    """Compacted gradient-slab slot count of the fused work list (the dump
+    """Compacted gradient-slab slot count of the window work list (the dump
     slot is +1 on top).  SINGLE SOURCE OF TRUTH shared by
-    make_two_pass_worklist and the frame-batched launcher
+    make_window_worklist and the frame-batched launcher
     (raster_tiled.render_train_grads_batch): if the two computed different
     values, frame-globalized slab slots would mis-index and dump-slot
     garbage would silently sum into real gradient blocks."""
@@ -117,29 +132,28 @@ def emit_capacity(num_tiles: int, max_dup: int, chunk: int,
     return min(wc, w_cap2)
 
 
-def make_two_pass_worklist(
+def make_window_worklist(
     tile_start: jax.Array, tile_end: jax.Array,
     num_tiles: int, max_dup: int, chunk: int,
     work_cap: int | None = None,
-) -> TwoPassWork:
-    """Build the fused-kernel work list from per-tile LOCAL dup ranges.
+) -> WindowWork:
+    """Build the window work list from per-tile LOCAL dup ranges.
 
     ``work_cap`` clips the enumerated list below the sound static bound
     2*work_capacity: the list is compact (pads are pure tail slack), and
     every pad item still costs a kernel grid step (~1 us of sequencing
-    overhead on v5e — 2/3 of the grid at the headline scene, and ~4/5 at
-    tile 16), so a budget sized to the scene's TRUE item count with modest
-    slack directly removes that.  Soundness is preserved dynamically:
-    ``num_work`` reports the true count; when it exceeds the budget the
-    trailing items are dropped (wrong image for those tiles) and the
-    caller must grow the budget and recompile — same contract as the
-    max_dup duplicate-buffer overflow."""
+    overhead on v5e), so a budget sized to the scene's TRUE item count
+    with modest slack directly removes that.  Soundness is preserved
+    dynamically: ``num_work`` reports the true count; when it exceeds the
+    budget the trailing items are dropped (wrong image for those tiles)
+    and the caller must grow the budget and recompile — same contract as
+    the max_dup duplicate-buffer overflow."""
     i32 = jnp.int32
     num_blocks = max_dup // chunk
-    start_blk = tile_start // chunk
-    n_chunks = jnp.maximum(1, -(-tile_end // chunk) - start_blk)
-    fuse_tile = n_chunks == 1  # single item: fwd + residual + bwd in one
-    n2 = jnp.where(fuse_tile, 1, 2 * n_chunks)
+    seg = jnp.maximum(tile_end - tile_start, 0)
+    n_win = -(-seg // chunk)  # 0 for empty tiles (still 1 residual item)
+    fuse_tile = n_win <= 1
+    n2 = jnp.where(fuse_tile, 1, 2 * n_win)
     w_offs = jnp.cumsum(n2)
     w_actual = w_offs[-1]
     w_cap2 = 2 * work_capacity(num_tiles, max_dup, chunk)
@@ -153,39 +167,51 @@ def make_two_pass_worklist(
         num_tiles - 1,
     )
     l = w - (w_offs - n2)[wt]
-    npass = n_chunks[wt]
+    npass = n_win[wt]
     fused = fuse_tile[wt]
     is_pass2 = (~fused) & (l >= npass)
     c = l - jnp.where(is_pass2, npass, 0)
-    wb = jnp.clip(start_blk[wt] + c, 0, num_blocks - 1)
     pad = w >= w_actual
+    w_start = jnp.clip(tile_start[wt] + c * chunk, 0, max_dup - 1)
+    nvalid = jnp.where(pad, 0, jnp.clip(tile_end[wt] - w_start, 0, chunk))
     is_first = (~pad) & (~fused) & (~is_pass2) & (c == 0)
     is_last_p1 = (~pad) & (~fused) & (~is_pass2) & (c == npass - 1)
     emits_slab = (~pad) & (is_pass2 | fused)
-    slab_segment = jnp.where(emits_slab, wb, num_blocks)
     # compacted output slots: emitting items get consecutive slots, all
-    # others share the dump slot E.  Sum of emitting chunks <= E by the
-    # work_capacity bound (ceil(dups_t/chunk) + alignment per tile).
+    # others share the dump slot E.  Emitting items per tile =
+    # max(1, ceil(seg/chunk)) <= work_capacity's per-tile budget.
     emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
     pos = jnp.cumsum(emits_slab.astype(i32)) - 1
     slab_pos = jnp.where(emits_slab & (pos < emit_cap), pos, emit_cap)
-    seg_slot = (
+    blk = w_start // chunk
+    seg_lo = (
         jnp.full((emit_cap + 1,), num_blocks, i32)
         .at[slab_pos]
-        .set(slab_segment, mode="drop")
+        .set(jnp.where(emits_slab, blk, num_blocks), mode="drop")
     )
-    wb = jnp.where(pad, num_blocks - 1, wb)  # pinned: no per-pad refetch
-    return TwoPassWork(
+    # hi slab: aligned block blk+1, clamped in-frame.  When the window's
+    # in-range columns end at or before the block boundary the kernel's
+    # masking makes the hi slab exactly zero, so the clamped id only ever
+    # receives zeros — no content-dependent routing needed.
+    hi_blk = jnp.minimum(blk + 1, num_blocks - 1)
+    seg_hi = (
+        jnp.full((emit_cap + 1,), num_blocks, i32)
+        .at[slab_pos]
+        .set(jnp.where(emits_slab, hi_blk, num_blocks), mode="drop")
+    )
+    w_start = jnp.where(pad, max_dup - 1, w_start)  # pinned: no pad refetch
+    return WindowWork(
         work_tile=wt,
-        work_block=wb.astype(i32),
+        w_start=w_start.astype(i32),
+        nvalid=nvalid.astype(i32),
         is_first=is_first.astype(i32),
         is_last_p1=is_last_p1.astype(i32),
         is_pass2=(is_pass2 & ~pad).astype(i32),
         is_pad=pad.astype(i32),
         is_fused=(fused & ~pad).astype(i32),
-        slab_segment=slab_segment.astype(i32),
         slab_pos=slab_pos.astype(i32),
-        seg_slot=seg_slot.astype(i32),
+        seg_lo=seg_lo.astype(i32),
+        seg_hi=seg_hi.astype(i32),
         num_work=w_actual.astype(i32),
     )
 

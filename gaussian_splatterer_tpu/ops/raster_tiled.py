@@ -22,14 +22,21 @@ The backward pass is an analytic forward-order replay (no per-splat state
 saved):  with S_k = sum_{j>k} c_j a_j T_j = C_total - C_{<=k},
     dL/dc_k     = g * a_k T_k
     dL/da_k     = sum_ch g_ch (c_k T_k - S_k/(1-a_k)) - g_T T_N/(1-a_k)
-then chain to opacity / conic / mean2d.  Per-chunk gradients accumulate
-directly into a (blocks, 16, chunk) output: the work list visits feature
-blocks in non-decreasing order (chunk indices grow within a tile and
-adjacent tiles can only share one boundary block), so each output block
-stays resident in VMEM across its visits and is flushed exactly once — no
-gradient slabs, no segment-sum.  The feature-gather transpose then
-accumulates duplicates per splat, and jax.vjp through the projection
-finishes the chain to the model parameters.
+then chain to opacity / conic / mean2d.
+
+TRAIN-PATH WINDOWING (round 3): the fused train kernel processes each
+tile's duplicate segment in ceil(seg/chunk) WINDOWS that start at the
+tile's own tile_start, not at global chunk-aligned block boundaries.  The
+kernel assembles each window from the two covering aligned feature blocks
+with one dynamic lane roll (trivial on a (9, chunk) block), and splits the
+window's gradient slab back onto those blocks (pre-rolled + masked lo/hi
+pair, segment-summed outside).  Before windowing, a tile whose segment
+merely straddled a block boundary cost 4 work items (2 chunks x 2 passes)
+instead of 1 fused item — ~64% of tiles at the headline 50k/1024^2 scene,
+~2.7x the (pixel, splat) pair work.  The dense duplicate buffer, sorts,
+gathers, and the scatter-free per-splat gradient reduction are unchanged;
+jax.vjp through the projection finishes the chain to the model
+parameters.
 """
 
 from __future__ import annotations
@@ -146,9 +153,14 @@ def _cumsum_lanes(x: jax.Array, bf16: bool = False) -> jax.Array:
     )
 
 
-def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk: int,
+def _chunk_state(feat_ref, t, in_range, tile: int, tx_tiles: int, chunk: int,
                  fexp: bool = False, mm_power: bool = False):
     """Shared forward replay for one (tile, chunk) work item.
+
+    ``feat_ref`` may be a VMEM ref or an assembled (rows, chunk) array
+    (the window kernel assembles its feature window from two aligned
+    blocks first); ``in_range`` is the caller-computed (1, chunk) mask of
+    columns that belong to this tile's duplicate segment.
 
     Returns per-(pixel, splat) tensors of shape (P, chunk).
 
@@ -166,10 +178,6 @@ def _chunk_state(feat_ref, t, tstart, tend, blk, tile: int, tx_tiles: int, chunk
     p_count = tile * tile
     ox = (t % tx_tiles) * tile
     oy = (t // tx_tiles) * tile
-
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    gidx = blk * chunk + li
-    in_range = (gidx >= tstart) & (gidx < tend)  # (1, chunk)
 
     mx = feat_ref[_F_MX : _F_MX + 1, :]
     my = feat_ref[_F_MY : _F_MY + 1, :]
@@ -362,8 +370,11 @@ def _fwd_kernel(
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        gidx = blk * chunk + li
+        in_range = (gidx >= tstart_arr[t]) & (gidx < tend_arr[t])
         a, _, _, _, _, _, _ = _chunk_state(
-            feat_ref, t, tstart_arr[t], tend_arr[t], blk, tile, tx_tiles, chunk
+            feat_ref, t, in_range, tile, tx_tiles, chunk
         )
         t_in = acc[:, 3:4]
         alive = acc[:, 4:5]
@@ -447,8 +458,11 @@ def _bwd_body(
         acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
         acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    gidx = blk * chunk + li
+    in_range = (gidx >= tstart) & (gidx < tend)
     a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-        feat_ref, t, tstart, tend, blk, tile, tx_tiles, chunk
+        feat_ref, t, in_range, tile, tx_tiles, chunk
     )
     t_in = acc[:, 3:4]
     alive = acc[:, 4:5]
@@ -505,14 +519,20 @@ def _bwd_body(
 
 # work-item flag bits for the fused train kernel (packed into ONE prefetch
 # array — scalar-prefetch operands live in SMEM, which is small, and the
-# frame-batched path carries frames x work-capacity items)
-_FL_FIRST = 1  # tile's first pass-1 chunk
-_FL_LAST_P1 = 2  # tile's last pass-1 chunk (residual forms here)
+# frame-batched path carries frames x work-capacity items).  Layout of the
+# packed word:  (global tile id << (_FL_BITS + _NV_BITS))
+#             | (window valid-count << _FL_BITS) | flags
+_FL_FIRST = 1  # tile's first pass-1 window
+_FL_LAST_P1 = 2  # tile's last pass-1 window (residual forms here)
 _FL_PASS2 = 4  # gradient-replay pass
 _FL_PAD = 8  # padding item: skip all compute
-_FL_FUSED = 16  # single-chunk tile: fwd + residual + bwd in one item
-_FL_BITS = 5  # flag field width; the global tile id rides in the high bits
+_FL_FUSED = 16  # single-window tile: fwd + residual + bwd in one item
+_FL_BITS = 5  # flag field width
 _FL_MASK = (1 << _FL_BITS) - 1
+_NV_BITS = 9  # window valid-count field (requires chunk <= 256); the
+# global tile id rides in the remaining 17 high bits (frame_group *
+# num_tiles < 2^17 — checked at launch)
+_NV_MASK = (1 << _NV_BITS) - 1
 # NOTE (measured dead end): caching pass-1's masked alphas in VMEM scratch
 # so the replay pass skips the _chunk_state recompute SLOWED the kernel
 # (110.3 -> 119.0 ms/step at K=2/1 MB-per-chunk scratch; K=4 OOM'd the
@@ -520,17 +540,41 @@ _FL_MASK = (1 << _FL_BITS) - 1
 # while the extra scratch steals double-buffering headroom.
 
 
+def _assemble_window(featA_ref, featB_ref, r):
+    """Gather the (rows, chunk) feature WINDOW starting at dynamic offset
+    ``r`` inside aligned block A (continuing into block B): one dynamic
+    lane roll over the concatenated pair.  This is what lets every tile's
+    windows start at its own tile_start instead of at global block
+    boundaries — on a (9, 2*chunk) array the roll is noise next to the
+    (P, chunk) pair math it saves."""
+    ab = jnp.concatenate([featA_ref[:, :], featB_ref[:, :]], axis=1)
+    return pltpu.roll(ab, -r, 1)[:, : featA_ref.shape[1]]
+
+
+def _emit_window_slabs(dlo_ref, dhi_ref, s9, r, chunk: int):
+    """Split a window-coordinate gradient slab back onto its two covering
+    ALIGNED blocks: lo gets window columns [0, chunk-r) at block columns
+    [r, chunk), hi gets window columns [chunk-r, chunk) at block columns
+    [0, r).  Out-of-part columns are zero, so the XLA-side segment_sum
+    over (lo, hi) slabs rebuilds the dense per-duplicate gradients
+    exactly."""
+    zc = jnp.zeros_like(s9)
+    sh = chunk - r
+    dlo_ref[0] = pltpu.roll(jnp.concatenate([zc, s9], axis=1), -sh, 1)[:, :chunk]
+    dhi_ref[0] = pltpu.roll(jnp.concatenate([s9, zc], axis=1), -sh, 1)[:, :chunk]
+
+
 def _train_kernel(
-    work_tf,  # (W,) packed (global tile id << _FL_BITS) | _FL_* flags
-    work_block,
+    work_tf,  # (W,) packed (tile << 14) | (nvalid << 5) | _FL_* flags
+    work_start,  # (W,) GLOBAL duplicate column of the window start
     slab_pos,  # (W,) compacted out-slot ids (consumed by the out index map)
-    tstart_arr,
-    tend_arr,
-    feat_ref,
+    featA_ref,  # (rows, chunk) aligned feature block containing the start
+    featB_ref,  # (rows, chunk) next aligned block (clamped at the end)
     truth_ref,  # (1, 8, P) channel-major pre-tiled truth for this tile
     bg_ref,  # (F, 4) SMEM per-frame background rgb
     res_ref,  # out (1, 8, P) channel-major: rows [residual rgb, t_final]
-    dfeat_ref,  # out (1, 16, chunk) per-work-item gradient slab
+    dlo_ref,  # out (1, rows, chunk) gradient slab, low aligned block part
+    dhi_ref,  # out (1, rows, chunk) gradient slab, high aligned block part
     acc,  # (P, 8): pass1 C rgb + T + alive; pass2 gC_in + T + alive
     acc2,  # (P, 8): [residual rgb, g_t, g_ctot, t_n]
     *,
@@ -542,51 +586,61 @@ def _train_kernel(
     fexp: bool = False,
     mm_power: bool = False,
 ):
-    """Fused per-tile forward + residual + backward replay (training path).
+    """Window-fused per-tile forward + residual + backward replay.
 
-    Pass 1 composites the tile (same math as _fwd_kernel) into acc; at the
-    tile's last pass-1 chunk the signed residual against the truth tile is
-    formed IN VMEM (no image/gin HBM round-trips) and stashed in acc2;
-    pass 2 replays the chunks computing gradient slabs (same math as
-    _bwd_kernel with the g.C fold, g := residual per reference semantics
-    src/Trainer.cu:33-44).
+    Each work item covers the duplicate WINDOW [w_start, w_start + chunk)
+    with w_start = tile_start + c*chunk — windows start at the tile's own
+    segment, not at global block boundaries, so the common single-window
+    tile is ONE fused item (fwd + residual + gradient replay) regardless
+    of how its segment straddles aligned blocks.  The feature window is
+    assembled from the two covering aligned blocks by a dynamic lane roll;
+    gradient slabs are split back onto those blocks (pre-rolled + masked)
+    and segment-summed outside.  Pass 1 composites into acc; at the tile's
+    last pass-1 window the signed residual against the truth tile is
+    formed IN VMEM and stashed in acc2 (reference semantics
+    src/Trainer.cu:33-44); pass 2 replays the windows computing gradient
+    slabs.
 
     Frame-batched operation: ``work_tf`` carries GLOBAL tile ids over a
-    (frame, tile) flattening packed with the item flags (scalar-prefetch
-    SMEM is the frame-group limiter — see max_frame_group); ``tiles_frame``
-    recovers the in-image tile (pixel origin) and the frame (bg row)."""
+    (frame, tile) flattening packed with the window valid-count and item
+    flags (scalar-prefetch SMEM is the frame-group limiter — see
+    max_frame_group); ``tiles_frame`` recovers the in-image tile (pixel
+    origin) and the frame (bg row)."""
     w = pl.program_id(0)
     tf = work_tf[w]
-    t = tf >> _FL_BITS
     fl = tf & _FL_MASK
+    nvalid = (tf >> _FL_BITS) & _NV_MASK
+    t = tf >> (_FL_BITS + _NV_BITS)
     t_img = t % tiles_frame
     frame = t // tiles_frame
-    blk = work_block[w]
+    r = work_start[w] % chunk  # dynamic window shift inside block A
     p_count = tile * tile
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_range = li < nvalid
 
-    # NOTE: pad and pass-1 items do NOT write their gradient slab — their
-    # slab_segment routes to the dump segment, which the segment_sum drops,
-    # so whatever the revolving out buffer holds is discarded unread.
+    # NOTE: pad and pass-1 items do NOT write their gradient slabs — their
+    # slab_pos routes to the dump slot, which the segment_sum drops, so
+    # whatever the revolving out buffers hold is discarded unread.
 
     @pl.when((fl & (_FL_PAD | _FL_FUSED)) == _FL_FUSED)
     def _():
-        # Single-chunk tile: forward + residual + gradient replay in ONE
-        # item, REUSING the live chunk state (the replay's entry state is
+        # Single-window tile: forward + residual + gradient replay in ONE
+        # item, REUSING the live window state (the replay's entry state is
         # T=1/alive=1, identical to this fresh pass-1 state, so weight/t_k/
         # keep carry over — the whole second _chunk_state+_composite_chunk
         # is elided along with the pass-2 work item).
+        feat = _assemble_window(featA_ref, featB_ref, r)
         a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-            feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-            tx_tiles, chunk, fexp, mm_power,
+            feat, t_img, in_range, tile, tx_tiles, chunk, fexp, mm_power,
         )
         ones_p = jnp.ones((p_count, 1), jnp.float32)
         weight, t_k, a_eff, keep, t_out, _alive = _composite_chunk(
             a, ones_p, ones_p, mm_bf16, fexp
         )
         c3 = jnp.concatenate(
-            [feat_ref[_F_CR : _F_CR + 1, :],
-             feat_ref[_F_CG : _F_CG + 1, :],
-             feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+            [feat[_F_CR : _F_CR + 1, :],
+             feat[_F_CG : _F_CG + 1, :],
+             feat[_F_CB2 : _F_CB2 + 1, :]], axis=0,
         )
         c_tot = jax.lax.dot_general(
             weight, c3, (((1,), (1,)), ((), ())),
@@ -609,9 +663,9 @@ def _train_kernel(
         )
         g_t = res_r * bg_r + res_g * bg_g + res_b * bg_b
         gc = (
-            res_r * feat_ref[_F_CR : _F_CR + 1, :]
-            + res_g * feat_ref[_F_CG : _F_CG + 1, :]
-            + res_b * feat_ref[_F_CB2 : _F_CB2 + 1, :]
+            res_r * feat[_F_CR : _F_CR + 1, :]
+            + res_g * feat[_F_CG : _F_CG + 1, :]
+            + res_b * feat[_F_CB2 : _F_CB2 + 1, :]
         )
         g_ctot = (
             res_r * c_tot[:, 0:1]
@@ -624,13 +678,14 @@ def _train_kernel(
         d_alpha = gc * t_k - (g_s + g_t * t_n) * inv1ma
         grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
         d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
-        dfeat_ref[0] = _grad_rows_moments(
+        rows9 = _grad_rows_moments(
             weight, d_alpha, alpha_raw,
-            feat_ref[_F_OP : _F_OP + 1, :],
-            feat_ref[_F_MX : _F_MX + 1, :],
-            feat_ref[_F_MY : _F_MY + 1, :],
+            feat[_F_OP : _F_OP + 1, :],
+            feat[_F_MX : _F_MX + 1, :],
+            feat[_F_MY : _F_MY + 1, :],
             ca, cb, cc, res_r, res_g, res_b, t_img, tile, tx_tiles,
         )
+        _emit_window_slabs(dlo_ref, dhi_ref, rows9, r, chunk)
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2 | _FL_FUSED)) == 0)
     def _():
@@ -641,15 +696,15 @@ def _train_kernel(
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
         # Early-termination skip: once every pixel in the tile has hit the
-        # INRIA T < eps cutoff (alive == 0 for all), later chunks cannot
+        # INRIA T < eps cutoff (alive == 0 for all), later windows cannot
         # change the composite (weight == 0, t/alive carry through), so the
-        # skip is exact — the chunk-granular analog of the CUDA per-thread
+        # skip is exact — the window-granular analog of the CUDA per-thread
         # `done` early exit in the reference rasterizer's forward loop.
         @pl.when(jnp.max(acc[:, 4]) > 0.0)
         def _():
+            feat = _assemble_window(featA_ref, featB_ref, r)
             a, _, _, _, _, _, _ = _chunk_state(
-                feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-                tx_tiles, chunk, fexp, mm_power,
+                feat, t_img, in_range, tile, tx_tiles, chunk, fexp, mm_power,
             )
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
@@ -657,9 +712,9 @@ def _train_kernel(
                 a, t_in, alive, mm_bf16, fexp
             )
             c3 = jnp.concatenate(
-                [feat_ref[_F_CR : _F_CR + 1, :],
-                 feat_ref[_F_CG : _F_CG + 1, :],
-                 feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+                [feat[_F_CR : _F_CR + 1, :],
+                 feat[_F_CG : _F_CG + 1, :],
+                 feat[_F_CB2 : _F_CB2 + 1, :]], axis=0,
             )  # (3, C)
             # per-pixel color accumulation as ONE (P,C)x(C,3) MXU matmul
             # (contract the shared C axis) instead of three lane-reduces
@@ -679,7 +734,7 @@ def _train_kernel(
             # truth/res tiles are channel-major (8, P) — see _C_ROWS; the
             # compositing state is pixel-major (P, c) columns, so transpose
             # at the boundary (2 small XLU transposes per TILE, amortized
-            # over its chunks) rather than padding P-minor buffers 32-43x
+            # over its windows) rather than padding P-minor buffers 32-43x
             # in HBM
             truc = jnp.transpose(truth_ref[0])  # (P, 8)
             res_r = truc[:, 0:1] - (acc[:, 0:1] + t_n * bg_r)
@@ -707,16 +762,17 @@ def _train_kernel(
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2)) == _FL_PASS2)
     def _():
-        dfeat_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
+        dlo_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
+        dhi_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
 
         # Same early-termination skip as pass 1: with every pixel dead,
         # keep == False everywhere, so every gradient row and every acc
-        # update is a no-op — skipping the whole replay chunk is exact.
+        # update is a no-op — skipping the whole replay window is exact.
         @pl.when(jnp.max(acc[:, 4]) > 0.0)
         def _():
+            feat = _assemble_window(featA_ref, featB_ref, r)
             a, contrib, alpha_raw, expp, dx, dy, (ca, cb, cc) = _chunk_state(
-                feat_ref, t_img, tstart_arr[t], tend_arr[t], blk, tile,
-                tx_tiles, chunk, fexp, mm_power,
+                feat, t_img, in_range, tile, tx_tiles, chunk, fexp, mm_power,
             )
             t_in = acc[:, 3:4]
             alive = acc[:, 4:5]
@@ -724,9 +780,9 @@ def _train_kernel(
                 a, t_in, alive, mm_bf16, fexp
             )
 
-            cr = feat_ref[_F_CR : _F_CR + 1, :]
-            cg = feat_ref[_F_CG : _F_CG + 1, :]
-            cb2 = feat_ref[_F_CB2 : _F_CB2 + 1, :]
+            cr = feat[_F_CR : _F_CR + 1, :]
+            cg = feat[_F_CG : _F_CG + 1, :]
+            cb2 = feat[_F_CB2 : _F_CB2 + 1, :]
             g_r = acc2[:, 0:1]
             g_g = acc2[:, 1:2]
             g_b = acc2[:, 2:3]
@@ -743,13 +799,14 @@ def _train_kernel(
             grad_mask = keep & contrib & (alpha_raw < ALPHA_MAX)
             d_alpha = jnp.where(grad_mask, d_alpha, 0.0)
 
-            dfeat_ref[0] = _grad_rows_moments(
+            rows9 = _grad_rows_moments(
                 weight, d_alpha, alpha_raw,
-                feat_ref[_F_OP : _F_OP + 1, :],
-                feat_ref[_F_MX : _F_MX + 1, :],
-                feat_ref[_F_MY : _F_MY + 1, :],
+                feat[_F_OP : _F_OP + 1, :],
+                feat[_F_MX : _F_MX + 1, :],
+                feat[_F_MY : _F_MY + 1, :],
                 ca, cb, cc, g_r, g_g, g_b, t_img, tile, tx_tiles,
             )
+            _emit_window_slabs(dlo_ref, dhi_ref, rows9, r, chunk)
 
             acc[:, 0:1] += cum_gwc[:, -1:]
             acc[:, 3:4] = t_out
@@ -764,19 +821,22 @@ def max_frame_group(
     width: int, height: int, tile: int, max_dup: int, chunk: int = 128
 ) -> int:
     """Largest frame count per fused launch whose scalar-prefetch arrays
-    (THREE w2-length work-list vectors — packed tile+flags, block ids,
-    slab slots — plus two per-tile range vectors, all int32 in SMEM) fit
-    the budget.  Exceeding SMEM is a hard compile error on TPU."""
+    (THREE w2-length work-list vectors — packed tile+nvalid+flags, window
+    starts, slab slots — all int32 in SMEM) fit the budget.  Exceeding
+    SMEM is a hard compile error on TPU.  The packed tile field is 17
+    bits, so the group is also capped at 2^17 / num_tiles."""
     tx_tiles = -(-width // tile)
     ty_tiles = -(-height // tile)
     num_tiles = tx_tiles * ty_tiles
     w2 = 2 * work_capacity(num_tiles, max_dup, chunk)
-    per_frame = (3 * w2 + 2 * num_tiles) * 4
-    return max(1, _SMEM_BUDGET_BYTES // per_frame)
+    per_frame = (3 * w2) * 4
+    smem_cap = max(1, _SMEM_BUDGET_BYTES // per_frame)
+    pack_cap = max(1, (1 << (31 - _FL_BITS - _NV_BITS)) // num_tiles)
+    return min(smem_cap, pack_cap)
 
 
 def _worklist_flags(w2) -> jax.Array:
-    """Pack the TwoPassWork booleans into one int32 bitfield array
+    """Pack the WindowWork booleans into one int32 bitfield array
     (scalar-prefetch operands live in small SMEM; frame batching multiplies
     the work-list length by the group size)."""
     return (
@@ -792,12 +852,11 @@ def _composite_train_flat(
     feat9: jax.Array,  # (9, num_blocks_total * chunk)
     truth_tiles: jax.Array,  # (T_total, 8, P) channel-major, frames flattened
     bg_f4: jax.Array,  # (F, 4) per-frame background
-    work_tf: jax.Array,  # (W,) GLOBAL (tile id << _FL_BITS) | flags
-    work_block: jax.Array,  # (W,) GLOBAL feature-block ids
+    work_tf: jax.Array,  # (W,) GLOBAL (tile << 14) | (nvalid << 5) | flags
+    work_start: jax.Array,  # (W,) GLOBAL window-start duplicate columns
     slab_pos: jax.Array,  # (W,) COMPACTED global slab slot; dump = n_slots-1
-    seg_slot: jax.Array,  # (n_slots,) global block id per slot, dump -> B_total
-    tstart: jax.Array,  # (T_total,) global duplicate range starts
-    tend: jax.Array,  # (T_total,)
+    seg_lo: jax.Array,  # (n_slots,) aligned block id per slot's LO slab
+    seg_hi: jax.Array,  # (n_slots,) aligned block id per slot's HI slab
     num_blocks_total: int,
     tile: int,
     tx_tiles: int,
@@ -808,36 +867,46 @@ def _composite_train_flat(
     fexp: bool = False,
     mm_power: bool = False,
 ):
-    """Run the fused train kernel over a flat (possibly multi-frame) work
-    list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk)).
+    """Run the window-fused train kernel over a flat (possibly multi-frame)
+    work list.  Returns (res8 (T_total, 8, P), d_feat9 (9, B_total*chunk)).
 
-    The gradient-slab output is indexed by the COMPACTED ``slab_pos`` (not
-    the grid step): non-emitting items (pads, pass-1 chunks) all target one
-    dump slot, so the revolving out block only fetches/flushes on emitting
-    items — work-list pad slack (~2/3 of the grid at the headline scene)
-    stops paying a per-step out-buffer cycle, and the slab array + its
-    segment_sum shrink ~2x."""
+    The feature input is passed TWICE with adjacent-block index maps (the
+    kernel rolls the pair into the tile's unaligned window); the gradient
+    output is a (lo, hi) slab PAIR per emitting item, segment-summed back
+    onto the aligned blocks.  Slab outputs are indexed by the COMPACTED
+    ``slab_pos`` (not the grid step): non-emitting items (pads, pass-1
+    windows) all target one dump slot, so the revolving out blocks only
+    fetch/flush on emitting items."""
     p_count = tile * tile
     num_tiles_total = truth_tiles.shape[0]
     w_cap = work_tf.shape[0]
-    n_slots = seg_slot.shape[0]
+    n_slots = seg_lo.shape[0]
+    nb_tot = num_blocks_total
     kw = dict(
         tile=tile, tx_tiles=tx_tiles, chunk=chunk, tiles_frame=tiles_frame,
         mm_bf16=mm_bf16, fexp=fexp, mm_power=mm_power,
     )
+    tshift = _FL_BITS + _NV_BITS
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(w_cap,),
         in_specs=[
             pl.BlockSpec(
                 (_F_ROWS_T, chunk),
-                lambda w, wtf, wb, sp, *_: (0, wb[w]),
+                lambda w, wtf, ws, sp: (0, ws[w] // chunk),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_F_ROWS_T, chunk),
+                lambda w, wtf, ws, sp: (
+                    0, jnp.minimum(ws[w] // chunk + 1, nb_tot - 1),
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, _C_ROWS, p_count),
-                lambda w, wtf, wb, sp, *_: (wtf[w] >> _FL_BITS, 0, 0),
+                lambda w, wtf, ws, sp: (wtf[w] >> tshift, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -845,12 +914,17 @@ def _composite_train_flat(
         out_specs=(
             pl.BlockSpec(
                 (1, _C_ROWS, p_count),
-                lambda w, wtf, wb, sp, *_: (wtf[w] >> _FL_BITS, 0, 0),
+                lambda w, wtf, ws, sp: (wtf[w] >> tshift, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, _F_ROWS_T, chunk),
-                lambda w, wtf, wb, sp, *_: (sp[w], 0, 0),
+                lambda w, wtf, ws, sp: (sp[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _F_ROWS_T, chunk),
+                lambda w, wtf, ws, sp: (sp[w], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -859,10 +933,11 @@ def _composite_train_flat(
             pltpu.VMEM((p_count, 8), jnp.float32),
         ],
     )
-    res8, dfeat_slabs = pl.pallas_call(
+    res8, dlo_slabs, dhi_slabs = pl.pallas_call(
         functools.partial(_train_kernel, **kw),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles_total, _C_ROWS, p_count), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -870,9 +945,11 @@ def _composite_train_flat(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(work_tf, work_block, slab_pos, tstart, tend, feat9, truth_tiles, bg_f4)
+    )(work_tf, work_start, slab_pos, feat9, feat9, truth_tiles, bg_f4)
     dfeat_blocks = jax.ops.segment_sum(
-        dfeat_slabs, seg_slot, num_segments=num_blocks_total + 1
+        jnp.concatenate([dlo_slabs, dhi_slabs], axis=0),
+        jnp.concatenate([seg_lo, seg_hi], axis=0),
+        num_segments=num_blocks_total + 1,
     )[:num_blocks_total]
     d_feat9 = jnp.transpose(dfeat_blocks, (1, 0, 2)).reshape(
         _F_ROWS_T, num_blocks_total * chunk
@@ -929,12 +1006,17 @@ def render_train_grads_batch(
     """
     from gaussian_splatterer_tpu.ops.binning import (
         bin_splats_batch,
-        make_two_pass_worklist,
+        make_window_worklist,
     )
 
     if interpret is None:
         interpret = _should_interpret()
     chunk = min(chunk, max_dup)  # tiny dup buffers (tests) cap the chunk
+    if chunk > _NV_MASK:
+        raise ValueError(
+            f"chunk={chunk} exceeds the packed window valid-count field "
+            f"(chunk <= {_NV_MASK})"
+        )
     if band is not None:
         y_off, bin_height = band
         y_off = jnp.asarray(y_off, jnp.float32)
@@ -945,6 +1027,12 @@ def render_train_grads_batch(
     num_tiles = tx_tiles * ty_tiles
     num_blocks = max_dup // chunk
     f = views.shape[0]
+    if f * num_tiles >= (1 << (31 - _FL_BITS - _NV_BITS)):
+        raise ValueError(
+            f"frame_group x num_tiles = {f * num_tiles} exceeds the packed "
+            f"tile-id field ({1 << (31 - _FL_BITS - _NV_BITS)}); lower the "
+            "frame group or raise the tile size"
+        )
     i32 = jnp.int32
     p_count = tile * tile
 
@@ -964,7 +1052,7 @@ def render_train_grads_batch(
         proj_sg = proj_sg._replace(my=proj_sg.my - jax.lax.stop_gradient(y_off))
     bins = bin_splats_batch(proj_sg, width, bin_height, tile, max_dup, chunk)
     w2 = jax.vmap(
-        lambda ts, te: make_two_pass_worklist(
+        lambda ts, te: make_window_worklist(
             ts, te, num_tiles, max_dup, chunk, work_cap
         )
     )(bins.tile_start, bins.tile_end)
@@ -972,25 +1060,34 @@ def render_train_grads_batch(
     # flatten to global (frame-major) ids
     f_col = jnp.arange(f, dtype=i32)[:, None]
     wt_g = w2.work_tile + f_col * num_tiles
-    wtf_g = ((wt_g << _FL_BITS) | _worklist_flags(w2)).reshape(-1)
-    wb_g = (w2.work_block + f_col * num_blocks).reshape(-1)
+    wtf_g = (
+        (wt_g << (_FL_BITS + _NV_BITS))
+        | (w2.nvalid << _FL_BITS)
+        | _worklist_flags(w2)
+    ).reshape(-1)
+    ws_g = (w2.w_start + f_col * max_dup).reshape(-1)
     # compacted slab slots: frame-local slots stack, ONE global dump at
     # the end; per-slot segment ids globalize the same way (shared helper
-    # keeps this bit-identical to make_two_pass_worklist's slot count)
+    # keeps this bit-identical to make_window_worklist's slot count)
     emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
     sp_g = jnp.where(
         w2.slab_pos == emit_cap,
         f * emit_cap,
         w2.slab_pos + f_col * emit_cap,
     ).reshape(-1)
-    seg_slot_g = jnp.concatenate([
-        jnp.where(
-            w2.seg_slot[:, :emit_cap] == num_blocks,
-            f * num_blocks,
-            w2.seg_slot[:, :emit_cap] + f_col * num_blocks,
-        ).reshape(-1),
-        jnp.full((1,), f * num_blocks, i32),
-    ])
+
+    def seg_globalize(seg):
+        return jnp.concatenate([
+            jnp.where(
+                seg[:, :emit_cap] == num_blocks,
+                f * num_blocks,
+                seg[:, :emit_cap] + f_col * num_blocks,
+            ).reshape(-1),
+            jnp.full((1,), f * num_blocks, i32),
+        ])
+
+    seg_lo_g = seg_globalize(w2.seg_lo)
+    seg_hi_g = seg_globalize(w2.seg_hi)
 
     # Differentiable feature build.  means are broadcast to (F, C, 3) so the
     # pullback returns PER-FRAME location gradients — the densify variance
@@ -1027,8 +1124,7 @@ def render_train_grads_batch(
     )
     truth_flat = truth_tiles.reshape(f * num_tiles, _C_ROWS, p_count)
     res8, d_feat9 = _composite_train_flat(
-        feat9, truth_flat, bg4, wtf_g, wb_g, sp_g, seg_slot_g,
-        bins.tile_start_g, bins.tile_end_g,
+        feat9, truth_flat, bg4, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g,
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
         mm_bf16, fast_exp, mm_power,
     )

@@ -216,22 +216,25 @@ def test_overflow_auto_recovery_grows_dup_buffer():
 
 def test_frame_group_respects_smem_budget():
     """Scalar-prefetch work lists live in 1 MB SMEM — the fused step must
-    cap its frame group so THREE w2-length work vectors (packed tile+flags,
-    block ids, slab slots) + 2 range vectors fit (measured hard compile
-    OOM at 16 frames / 1024^2 / tile 32 / max_dup 2^18)."""
+    cap its frame group so THREE w2-length work vectors (packed
+    tile+nvalid+flags, window starts, slab slots) fit (measured hard
+    compile OOM at 16 frames / 1024^2 / tile 32 / max_dup 2^18 under the
+    old layout), AND so the packed 17-bit tile-id field never overflows
+    (group * num_tiles < 2^17)."""
     from gaussian_splatterer_tpu.ops.raster_tiled import (
         max_frame_group,
         work_capacity,
     )
 
     g = max_frame_group(1024, 1024, 32, 2**18)
-    # bench shapes: W2=8192, T=1024 -> 106.5KB/frame -> 6 frames in 700KB
     w2 = 2 * work_capacity(1024, 2**18, 128)
-    per_frame = (3 * w2 + 2 * 1024) * 4
-    assert g == max(1, (700 * 1024) // per_frame)
+    per_frame = (3 * w2) * 4
+    assert g == min(max(1, (700 * 1024) // per_frame), (1 << 17) // 1024)
     assert g * per_frame <= 1024 * 1024  # never exceeds physical SMEM
-    # tiny configs are unconstrained
-    assert max_frame_group(64, 64, 16, 2**10) >= 64
+    # tiny configs are bounded by the packed tile-id field, not SMEM
+    g_tiny = max_frame_group(64, 64, 16, 2**10)
+    assert g_tiny >= 64
+    assert g_tiny * 16 < (1 << 17)  # 16 tiles per frame at 64^2/tile 16
 
 
 def test_work_cap_calibration_and_overflow_growth():
