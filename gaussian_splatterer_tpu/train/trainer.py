@@ -232,18 +232,16 @@ def make_train_step(
                     jnp.maximum(ndup, nd), jnp.maximum(nwork, nw),
                 ), None
 
-            init = (avg0, var0, jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
-            if (2 * f) // group == 1:
-                # single group: skip lax.scan — its xs dynamic-slice copies
-                # the whole truth batch every step (measured 12 ms at 8
-                # frames/1024^2)
-                (gsum, var, loss_sum, num_dup, num_work), _ = group_fn(
-                    init, jax.tree.map(lambda x: x[0], xs)
+            # Unroll the group loop statically instead of lax.scan: the
+            # scan's xs dynamic-slice copies the whole truth batch every
+            # step (measured 12 ms at 8 frames/1024^2), while static
+            # x[gi] slices are free views.  Group counts are tiny (1-4).
+            carry = (avg0, var0, jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
+            for gi in range((2 * f) // group):
+                carry, _ = group_fn(
+                    carry, jax.tree.map(lambda x: x[gi], xs)
                 )
-            else:
-                (gsum, var, loss_sum, num_dup, num_work), _ = jax.lax.scan(
-                    group_fn, init, xs
-                )
+            gsum, var, loss_sum, num_dup, num_work = carry
             avg = jax.tree.map(lambda g: g / samples, gsum)
             var = var / samples
         else:
