@@ -230,8 +230,6 @@ class BatchBins(NamedTuple):
     # gather at 1M dups, measured by scripts/gather_probe.py)
     tile_start: jax.Array  # (F, T) local dup ranges per tile
     tile_end: jax.Array  # (F, T)
-    tile_start_g: jax.Array  # (F*T,) global (+f*D) — kernel convention
-    tile_end_g: jax.Array  # (F*T,)
     seg_start_g: jax.Array  # (F*N,) global presort dup range per depth slot
     seg_end_g: jax.Array  # (F*N,)
     inv_depth_flat: jax.Array  # (F*N,) global depth slot per original row id
@@ -426,8 +424,6 @@ def bin_splats_batch(
         return lt, le
 
     tile_start, tile_end = jax.vmap(ranges)(tid_2d)
-    tile_start_g = (tile_start + f_dups).reshape(-1)
-    tile_end_g = (tile_end + f_dups).reshape(-1)
 
     # 8. per-depth-slot presort segments (for the scatter-free gradient
     # reduction) and the depth inverse (original row -> global depth slot)
@@ -449,8 +445,6 @@ def bin_splats_batch(
         presort_pos=pre_local_2d,
         tile_start=tile_start,
         tile_end=tile_end,
-        tile_start_g=tile_start_g,
-        tile_end_g=tile_end_g,
         seg_start_g=seg_start_g,
         seg_end_g=seg_end_g,
         inv_depth_flat=inv_depth_flat,
