@@ -719,3 +719,89 @@ def test_fused_path_random_config_fuzz(seed):
             err_msg=f"config tile={tile} chunk={chunk} max_dup={max_dup} "
                     f"degree={degree} n={n}",
         )
+
+
+def test_window_worklist_multiwindow_tiles():
+    """Window-scheme edge cases: a scene dense enough that tiles span 3+
+    windows at a tiny chunk (unaligned starts crossing several aligned
+    block boundaries) plus empty background tiles, checked against the
+    image-space vjp reference.  Guards the dynamic-roll window assembly
+    and the lo/hi slab split (ops/raster_tiled._assemble_window /
+    _emit_window_slabs)."""
+    from gaussian_splatterer_tpu.ops.binning import make_window_worklist
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles,
+        image_to_tiles_cm,
+        render_tiled_tiles,
+        render_train_grads,
+    )
+
+    # big splats -> heavy overlap in center tiles, none at the borders
+    rng = np.random.default_rng(11)
+    n, cap = 60, 64
+    means = np.zeros((cap, 3), np.float32)
+    means[:n] = rng.uniform(0.1, 1.6, (n, 3))  # off-center: corner tiles empty
+    shs = np.zeros((cap, 4, 3), np.float32)
+    shs[:n] = rng.normal(0, 0.5, (n, 4, 3))
+    scales = np.zeros((cap, 3), np.float32)
+    scales[:n] = rng.uniform(0.2, 0.7, (n, 3))
+    opac = np.zeros((cap,), np.float32)
+    opac[:n] = rng.uniform(0.3, 1.0, n)
+    rot = np.zeros((cap, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot[:n] = rng.normal(0, 1, (n, 4))
+    params = tuple(map(jnp.asarray, (means, shs, scales, opac, rot)))
+    active = jnp.asarray(np.arange(cap) < n)
+    view, pv, pos, tx, ty = cam_args(dist=6.0)
+    bg = jnp.asarray([0.2, 0.5, 0.1], jnp.float32)
+    truth = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    chunk, max_dup = 16, 2**10
+
+    def render_fn(p):
+        return render_tiled_tiles(
+            *p, active, view, pv, pos, tx, ty, W, H, bg, 1, 1.0,
+            tile=TILE, chunk=chunk, max_dup=max_dup, interpret=True,
+        )
+
+    img_tiles, pull = jax.vjp(render_fn, params)
+    residual = image_to_tiles(truth, TILE) - img_tiles
+    g_ref = pull(residual)[0]
+    loss_ref = jnp.mean(jnp.square(residual))
+
+    loss_f, g_fused, _ = render_train_grads(
+        *params, active, view, pv, pos, tx, ty, W, H,
+        image_to_tiles_cm(truth, TILE), bg, 1,
+        tile=TILE, chunk=chunk, max_dup=max_dup, interpret=True,
+    )
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref), rtol=1e-5)
+    for name, a, b in zip(
+        ["means", "shs", "scales", "opacities", "rotations"], g_fused, g_ref
+    ):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
+            err_msg=f"window gradient mismatch: {name}",
+        )
+
+    # structural assertions: the scene really exercises the edge cases
+    from gaussian_splatterer_tpu.ops.binning import bin_splats
+    from gaussian_splatterer_tpu.ops.transforms import project_splat_components
+
+    comps = project_splat_components(
+        *params, active, view, pv, pos, tx, ty, W, H, 1, 1.0
+    )
+    bins = bin_splats(comps, W, H, TILE, max_dup, chunk)
+    seg = np.asarray(bins.tile_end) - np.asarray(bins.tile_start)
+    assert (seg == 0).any(), "need empty tiles"
+    assert (seg > 2 * chunk).any(), "need tiles spanning 3+ windows"
+    assert (np.asarray(bins.tile_start) % chunk != 0).any(), (
+        "need unaligned window starts"
+    )
+    w2 = make_window_worklist(
+        jnp.asarray(bins.tile_start), jnp.asarray(bins.tile_end),
+        (W // TILE) * (H // TILE), max_dup, chunk,
+    )
+    nw = np.asarray(w2.work_tile).shape  # list built without error
+    assert int(w2.num_work) > (W // TILE) * (H // TILE)
