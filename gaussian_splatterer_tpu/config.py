@@ -161,10 +161,14 @@ class RuntimeConfig:
     rt_bounces: int = 50  # path-tracer bounce cap (reference src/rtx/RtxDevice.cu:23)
     frame_group: int = 8  # frames per fused-kernel launch (bounds transient HBM)
     # Train-kernel transmittance/gradient prefix sums on the MXU in
-    # single-pass bfloat16 with f32 accumulation (f32 matmuls are 3-6
-    # chained bf16 passes on TPU).  Error is one bf16 input rounding
-    # (~0.2% relative) — invisible under the MC truth noise; the serve/
-    # parity render paths always stay f32.  Set False for bit-parity runs.
+    # single-pass bfloat16 with f32 accumulation.  MEASURED (PERF.md round
+    # 3): a default-precision f32 dot inside Pallas lowers to a single
+    # bf16 MXU pass anyway, so on TPU this flag is numerically a no-op —
+    # it documents the contract and changes interpret-mode (CPU) numerics
+    # only.  Error is one bf16 input rounding (~0.2% relative) —
+    # invisible under the MC truth noise; the serve/parity render paths
+    # and the cancellation-sensitive moment matmuls stay exact
+    # (precision=HIGHEST where it matters).
     train_mm_bf16: bool = True
     # Splat-chunk width of the fused train kernel.  256 measured 19%
     # faster than 128 at 50k/1024^2/tile 32 on v5e (fewer work items;
@@ -178,6 +182,14 @@ class RuntimeConfig:
     # detected (TrainMetrics.num_work) and auto-grown exactly like the
     # max_dup duplicate-buffer overflow.
     train_work_cap: int | None = None
+    # Allow maybe_grow_dup_buffer to SHRINK max_dup / train_work_cap after
+    # sustained low utilization.  Every resize is a fresh kernel compile —
+    # minutes through a remote-TPU tunnel, occasionally wedging — and a
+    # run that densifies toward a known final scale shrinks early only to
+    # re-grow later.  Long scripted runs should pre-size the buffers
+    # (max_dup, train_work_cap) and set this False; interactive sessions
+    # keep the default True so culls reclaim kernel time.
+    auto_shrink_buffers: bool = True
     # Mip-splatting-style anti-aliasing (Yu et al. 2023): scale opacity by
     # sqrt(det(cov2d)/det(cov2d + dilation)) so sub-pixel splats fade
     # instead of aliasing into 0.3-px discs.  BEYOND reference parity;

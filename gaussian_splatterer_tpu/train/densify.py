@@ -2,8 +2,10 @@
 
 The reference does this on the CPU with dynamic arrays and per-insert
 capacity checks (src/Trainer.cu:437-542).  Here it is a pure function on
-the fixed-capacity padded model: appends are scatters past ``count`` and
-culling is a stable masked compaction — no reallocation, no host round-trip.
+the fixed-capacity padded model: appends are rank-ordered GATHERS into the
+slots past ``count`` (scatter-free — XLA's TPU scatter lowering measured
+multi-minute compiles) and culling is a stable masked compaction — no
+reallocation, no host round-trip.
 
 Semantics preserved from the reference:
   * classification on the *pre-split* model (src/Trainer.cu:448-456):
@@ -113,24 +115,44 @@ def densify(
         jnp.einsum("nij,nj->ni", rot, model.scales) * dir_grad * params.clone_distance
     )
 
-    # in-place half of the split
-    means = jnp.where(split_ok[:, None], model.means + split_offset, model.means)
-    scales = jnp.where(split_ok[:, None], split_scales, model.scales)
+    # ---- appends as GATHERS, not scatters: XLA's TPU scatter lowering is
+    # pathological (unbatched dynamic-index scatters measured multi-minute
+    # compiles through the tunnel — PERF.md round 2/3).  A stable argsort
+    # puts the split/clone sources first IN ORIGINAL ORDER (= rank order),
+    # so append slot count+k reads source split_src[k] / clone_src[k']
+    # with one row gather per parameter array.
+    split_src = jnp.argsort(~split_ok, stable=True)  # (C,) rank -> source
+    clone_src = jnp.argsort(~clone_ok, stable=True)
+    k = idx - model.count  # append rank per slot (< 0 for original slots)
+    is_app_split = (k >= 0) & (k < n_split)
+    kc = k - n_split
+    is_app_clone = (kc >= 0) & (kc < n_clone)
+    app_src = jnp.where(
+        is_app_split,
+        split_src[jnp.clip(k, 0, cap - 1)],
+        clone_src[jnp.clip(kc, 0, cap - 1)],
+    )
+    src = jnp.where(k < 0, idx, app_src)  # originals read themselves
 
-    # scatter appends (dropped when target index >= capacity)
-    split_tgt = jnp.where(split_ok, model.count + split_rank, cap)
-    clone_tgt = jnp.where(clone_ok, model.count + n_split + clone_rank, cap)
-
-    def append(dst, src_split, src_clone):
-        dst = dst.at[split_tgt].set(src_split, mode="drop")
-        dst = dst.at[clone_tgt].set(src_clone, mode="drop")
-        return dst
-
-    means = append(means, model.means - split_offset, model.means + clone_offset)
-    scales = append(scales, split_scales, model.scales)
-    shs = append(model.shs, model.shs, model.shs)
-    opacities = append(model.opacities, model.opacities, model.opacities)
-    rotations = append(model.rotations, model.rotations, model.rotations)
+    # means: original split half moves +offset, appended half -offset,
+    # appended clone +clone_offset (all offsets gathered at the source)
+    split_ok_g = split_ok[src]
+    split_coef = jnp.where(
+        is_app_split, -1.0, jnp.where((k < 0) & split_ok_g, 1.0, 0.0)
+    )
+    means = (
+        model.means[src]
+        + split_coef[:, None] * split_offset[src]
+        + jnp.where(is_app_clone, 1.0, 0.0)[:, None] * clone_offset[src]
+    )
+    scales = jnp.where(
+        (is_app_split | ((k < 0) & split_ok_g))[:, None],
+        split_scales[src],
+        model.scales[src],
+    )
+    shs = model.shs[src]
+    opacities = model.opacities[src]
+    rotations = model.rotations[src]
 
     count_after_append = model.count + n_split + n_clone
 

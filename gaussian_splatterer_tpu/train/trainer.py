@@ -443,6 +443,10 @@ class Trainer:
             self._work_low_streak = 0
             self._build_step()
             return True
+        if not getattr(self.runtime, "auto_shrink_buffers", True):
+            # pinned buffers (long scripted runs): growth safety stays ON
+            # above, but no shrink recompiles mid-run
+            return False
         # ---- auto-shrink (NEXT #9): sustained low utilization ----------
         chunk = getattr(self.runtime, "train_chunk", 256)
         if 0 < nd < int(0.4 * self.runtime.max_dup):

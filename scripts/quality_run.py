@@ -160,6 +160,11 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
+    ap.add_argument("--work-cap", type=int, default=None,
+                    help="pre-size the fused work-list budget (skips the "
+                    "first-step calibration recompile); buffers are then "
+                    "PINNED (no auto-shrink recompiles mid-run — each one "
+                    "is minutes through a remote-TPU tunnel)")
     args = ap.parse_args()
 
     proj = Project.app_default()
@@ -185,6 +190,8 @@ def main():
         mip_antialias=args.mip_aa,
         train_fast_exp=args.fast_exp,
         train_mm_power=args.mm_power,
+        train_work_cap=args.work_cap,
+        auto_shrink_buffers=args.work_cap is None,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:
