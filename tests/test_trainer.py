@@ -524,3 +524,41 @@ def test_training_soak_stays_finite(knobs):
     for leaf in (trainer.model.means, trainer.model.scales,
                  trainer.model.opacities, trainer.model.rotations):
         assert np.isfinite(np.asarray(leaf)).all(), f"param NaN ({knobs})"
+
+
+def test_pinned_buffers_never_shrink():
+    """auto_shrink_buffers=False (long scripted runs with pre-sized
+    buffers): sustained low utilization must NOT shrink max_dup or the
+    work-list budget (each resize is a multi-minute tunnel recompile),
+    while overflow GROWTH stays armed."""
+    from gaussian_splatterer_tpu.train.trainer import TrainMetrics
+
+    res, tile = 64, 16
+    runtime = RuntimeConfig()
+    runtime.render_resolution_x = runtime.render_resolution_y = res
+    runtime.tile_px = tile
+    runtime.max_dup = 2**14
+    runtime.train_work_cap = 4096
+    runtime.splats_capacity = 16
+    runtime.auto_shrink_buffers = False
+
+    h = SplatModelHost(16, 1, 4)
+    h.push_back([0.0, 0.0, 0.0], rgb_sh([0.6, 0.4, 0.3]), [0.2] * 3, 0.9,
+                [1, 0, 0, 0])
+    trainer = Trainer(small_project(), runtime, h.to_device(), renderer="tiled")
+
+    def fake_metrics(nd, nw):
+        z = jnp.zeros(())
+        return TrainMetrics(z, z, z, jnp.int32(nd), jnp.int32(nw))
+
+    low = fake_metrics(300, 40)
+    for _ in range(5):
+        trainer.project.iterations += 1
+        assert not trainer.maybe_grow_dup_buffer(low)
+    assert runtime.max_dup == 2**14
+    assert runtime.train_work_cap == 4096
+
+    # growth safety still fires on overflow
+    trainer.project.iterations += 1
+    assert trainer.maybe_grow_dup_buffer(fake_metrics(2**15, 40))
+    assert runtime.max_dup >= 2**15
