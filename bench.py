@@ -56,6 +56,15 @@ REFERENCE_FRAME_BUDGET_MS = 1000.0 / (100.0 * 32.0)
 NUMERICS_ATOL = 2e-2
 GATE_RES = 128
 GATE_SPLATS = 150
+# Gradient-parity gate tolerance (max per-parameter relative deviation of
+# the PRODUCTION fused path vs the CPU oracle's jax.grad).  Measured on
+# v5e after the round-3 precision=HIGHEST fix: 9.0e-3 with the production
+# mm_bf16 cumsums (their ~0.2% input rounding dominates).  The regression
+# class this guards (Pallas silently lowering f32 dots as single-pass
+# bf16) measured 0.57 relative on scale/rot gradients — 5e-2 fails loudly
+# an order of magnitude below that while sitting ~5x above the healthy
+# reading.
+GRAD_GATE_RTOL = 5e-2
 
 
 def build_scene(n_splats, capacity, width, height, n_frames, seed=0):
@@ -124,6 +133,74 @@ def numerics_gate():
     return err
 
 
+def grad_gate():
+    """Assert tiled-vs-oracle GRADIENT parity ON THE REAL CHIP.
+
+    The round-3 silent-precision regression (Pallas f32 dots lowering as a
+    single bf16 MXU pass: scale/rot gradients up to 57% off) was caught by
+    a hand-run script (scripts/gate_debug.py); this automates the check so
+    the next precision regression fails BENCH loudly.  The production path
+    (mm_bf16 + precision=HIGHEST moment matmuls) runs on the TPU; the
+    reference is jax.grad of the oracle's negative half squared error on
+    CPU — the same quantity render_train_grads_batch defines its grads as
+    (J^T residual, the reference convention src/Trainer.cu:33-44)."""
+    from gaussian_splatterer_tpu.ops.raster_reference import render_oracle
+
+    params, active, views, pvs, poss, txs, tys, _ = build_scene(
+        GATE_SPLATS, 256, GATE_RES, GATE_RES, 2, seed=11
+    )
+    rng = np.random.default_rng(3)
+    truths_np = rng.uniform(0, 1, (2, GATE_RES, GATE_RES, 3)).astype(np.float32)
+    tt = jax.vmap(lambda im: image_to_tiles_cm(im, 32))(jnp.asarray(truths_np))
+    bgs = jnp.zeros((2, 3), jnp.float32)
+    _, g_t, *_ = jax.jit(
+        lambda p, t: render_train_grads_batch(
+            *p, active, views, pvs, poss, txs, tys,
+            GATE_RES, GATE_RES, t, bgs, 1,
+            tile=32, max_dup=2**13, mm_bf16=True,
+        )
+    )(params, tt)
+    g_t = jax.tree.map(np.asarray, g_t)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        inputs = jax.device_put(
+            (params, active, views, pvs, poss, txs, tys, jnp.asarray(truths_np)),
+            cpu,
+        )
+        p_c, active_c, views_c, pvs_c, poss_c, txs_c, tys_c, tr_c = inputs
+        bg_c = jnp.zeros((3,), jnp.float32)
+
+        def neg_half_sq(p):
+            total = jnp.float32(0.0)
+            for i in range(2):
+                img = render_oracle(
+                    *p, active_c, views_c[i], pvs_c[i], poss_c[i],
+                    txs_c[i], tys_c[i], GATE_RES, GATE_RES, bg_c, 1, 1.0,
+                    row_chunk=16, tile_cull=32,
+                )
+                total = total - 0.5 * jnp.sum(jnp.square(img - tr_c[i]))
+            return total
+
+        g_o = jax.tree.map(np.asarray, jax.grad(neg_half_sq)(p_c))
+
+    worst = 0.0
+    for name, a, b in zip(
+        ["means", "shs", "scales", "opacities", "rotations"], g_t, g_o
+    ):
+        scale = max(1e-3, float(np.max(np.abs(b))))
+        dev = float(np.max(np.abs(a - b))) / scale
+        if not np.isfinite(a).all():
+            raise SystemExit(f"TPU grad gate FAILED: non-finite {name} gradients")
+        if dev > GRAD_GATE_RTOL:
+            raise SystemExit(
+                f"TPU grad gate FAILED: {name} gradient deviation {dev:.2e} "
+                f"(allowed {GRAD_GATE_RTOL}) vs CPU oracle"
+            )
+        worst = max(worst, dev)
+    return worst
+
+
 def gate_kernel_options():
     """Compile + numerics check of the optional train-kernel fast paths
     (train_mm_power, train_fast_exp) ON THE REAL CHIP, against the default
@@ -183,6 +260,7 @@ def gate_kernel_options():
 
 def main():
     gate_err = numerics_gate()
+    grad_err = grad_gate()
     opt_gate = gate_kernel_options()
 
     params, active, views, pvs, poss, txs, tys, cams = build_scene(
@@ -223,6 +301,7 @@ def main():
                 "unit": "ms/frame",
                 "vs_baseline": round(REFERENCE_FRAME_BUDGET_MS / ms_per_frame, 4),
                 "numerics_gate_max_err": round(gate_err, 5),
+                "grad_gate_max_err": round(grad_err, 5),
                 "kernel_options_gate": opt_gate,
             }
         )

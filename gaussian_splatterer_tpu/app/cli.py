@@ -21,16 +21,25 @@ from gaussian_splatterer_tpu.config import Project, RuntimeConfig
 
 
 def _make_session(args, require: bool = False):
-    from gaussian_splatterer_tpu.app.session import Session
+    from gaussian_splatterer_tpu.app.session import RUNTIME_FILE, Session
 
-    runtime = RuntimeConfig()
+    directory = args.project
+    # runtime knobs persist with the project (runtime.json beside
+    # settings.json — the reference keeps everything in one settings file,
+    # src/Project.h:64-73); explicit CLI flags override the persisted values
+    rt_path = os.path.join(directory, RUNTIME_FILE)
+    persisted = os.path.exists(rt_path)
+    runtime = RuntimeConfig.load(rt_path) if persisted else RuntimeConfig()
+    resized = False
     if getattr(args, "resolution", None):
         runtime.render_resolution_x = runtime.render_resolution_y = args.resolution
+        resized = True
     if getattr(args, "capacity", None):
         runtime.splats_capacity = args.capacity
+        resized = True
     if getattr(args, "max_dup", None):
         runtime.max_dup = args.max_dup
-    else:
+    elif not persisted or resized:
         # scale the binning buffer with the scene: ~128 duplicate slots per
         # tile plus one per splat of capacity, rounded up to a power of two
         tiles = (runtime.render_resolution_x // runtime.tile_px) * (
@@ -39,10 +48,9 @@ def _make_session(args, require: bool = False):
         want = max(2**12, tiles * 128 + runtime.splats_capacity)
         runtime.max_dup = 1 << (want - 1).bit_length()
     session = Session(runtime=runtime, renderer=getattr(args, "renderer", "tiled"))
-    directory = args.project
     settings = os.path.join(directory, "settings.json")
     if os.path.exists(settings):
-        session.load_project(directory)
+        session.load_project(directory, runtime=runtime)
     elif require:
         raise SystemExit(f"no project at {directory} (missing {settings})")
     return session
@@ -115,6 +123,12 @@ def cmd_render(args):
     session = _make_session(args, require=True)
     w, h = (int(x) for x in args.size.split("x")) if args.size else (None, None)
     if args.mode == "splats":
+        if args.samples:
+            print(
+                "warning: --samples only applies to --mode rtx "
+                "(the splat rasterizer is deterministic); ignoring",
+                file=sys.stderr,
+            )
         session.export_splats_png(args.output, w, h)
     elif args.mode == "viewer":
         session.export_viewer_html(args.output)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import random
+import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ from gaussian_splatterer_tpu.utils.metrics import MetricsLogger
 
 SETTINGS_FILE = "settings.json"
 SPLATS_FILE = "splats.gobj"
+RUNTIME_FILE = "runtime.json"
 
 
 class Session:
@@ -122,6 +124,16 @@ class Session:
         def log_step(it, metrics):
             if snapshot_dir and snapshot_every and it % snapshot_every == 0:
                 os.makedirs(snapshot_dir, exist_ok=True)
+                # advance the free-orbit preview clock by the elapsed wall
+                # time, like the reference's per-tick update
+                # (src/ui/UiFrame.cpp:272: previewTimer += delta), so the
+                # snapshot series orbits the model instead of re-rendering
+                # one static view
+                now = time.monotonic()
+                last = getattr(self, "_last_snapshot_time", None)
+                if last is not None:
+                    self.project.previewTimer += now - last
+                self._last_snapshot_time = now
                 self.export_splats_png(
                     os.path.join(snapshot_dir, f"iter_{it:06d}.png")
                 )
@@ -172,13 +184,55 @@ class Session:
 
     # -- project persistence (reference src/ui/UiFrame.cpp:323-450) -----
     def save_project(self, directory: str) -> None:
+        """settings.json + splats.gobj (reference format) + runtime.json
+        (framework knobs — the reference keeps EVERYTHING in settings.json,
+        src/Project.h:64-73; our RuntimeConfig fields have no reference key
+        names, so they persist beside it rather than inside it)."""
         os.makedirs(directory, exist_ok=True)
         self.save_settings(os.path.join(directory, SETTINGS_FILE))
+        self.runtime.save(os.path.join(directory, RUNTIME_FILE))
         self.save_splats(os.path.join(directory, SPLATS_FILE))
 
-    def load_project(self, directory: str) -> None:
+    def load_project(self, directory: str, runtime: Optional[RuntimeConfig] = None) -> None:
+        """Load settings + splats (+ runtime.json when present).  Passing
+        ``runtime`` overrides the persisted one (the CLI resolves persisted
+        values + flag overrides before constructing the Session)."""
+        if runtime is None:
+            rt_path = os.path.join(directory, RUNTIME_FILE)
+            if os.path.exists(rt_path):
+                runtime = RuntimeConfig.load(rt_path)
+        if runtime is not None:
+            self.apply_runtime(runtime)
         self.load_settings(os.path.join(directory, SETTINGS_FILE))
         self.load_splats(os.path.join(directory, SPLATS_FILE))
+
+    def apply_runtime(self, runtime: RuntimeConfig) -> None:
+        """Swap in a new RuntimeConfig and rebuild the trainer around it.
+        The current model is re-padded when the capacity changed; callers
+        loading a project reload splats right after, so the re-pad only
+        matters for standalone use."""
+        if runtime == self.runtime:
+            return
+        model = self.model
+        if runtime.splats_capacity != model.capacity:
+            from gaussian_splatterer_tpu.models.splats import SplatModel
+
+            host = SplatModelHost.from_device(model)
+            n = host.count
+            if n == 0:
+                model = SplatModel.empty(
+                    runtime.splats_capacity, model.sh_degree, model.sh_coeffs
+                )
+            else:
+                model = SplatModelHost.from_arrays(
+                    host.means[:n], host.shs[:n], host.scales[:n],
+                    host.opacities[:n], host.rotations[:n],
+                    capacity=runtime.splats_capacity,
+                ).to_device()
+        self.runtime = runtime
+        self.trainer = Trainer(
+            self.project, runtime, model, renderer=self.renderer
+        )
 
     def save_settings(self, path: str) -> None:
         self.project.save(path)

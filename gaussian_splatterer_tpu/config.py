@@ -39,7 +39,7 @@ class CameraSphere:
         out = cls()
         for f in dataclasses.fields(cls):
             if f.name in d:
-                setattr(out, f.name, f.type_cast(d[f.name]) if hasattr(f, "type_cast") else d[f.name])
+                setattr(out, f.name, d[f.name])
         return out
 
 

@@ -831,7 +831,9 @@ def max_frame_group(
     w2 = 2 * work_capacity(num_tiles, max_dup, chunk)
     per_frame = (3 * w2) * 4
     smem_cap = max(1, _SMEM_BUDGET_BYTES // per_frame)
-    pack_cap = max(1, (1 << (31 - _FL_BITS - _NV_BITS)) // num_tiles)
+    # the launch check rejects f * num_tiles >= 2^17 (strict), so the
+    # largest admissible product is 2^17 - 1
+    pack_cap = max(1, ((1 << (31 - _FL_BITS - _NV_BITS)) - 1) // num_tiles)
     return min(smem_cap, pack_cap)
 
 

@@ -178,6 +178,57 @@ def test_cli_checkpoint_resume_and_snapshots(obj_path, tmp_path):
     assert out["iterations"] == 5
 
 
+def test_cli_runtime_persistence(obj_path, tmp_path):
+    """RuntimeConfig persists with the project (runtime.json): `new
+    --resolution 32 --capacity 512` followed by a flag-less `train` must
+    keep 32^2/512 instead of silently reverting to the 1024^2/1M defaults
+    (the reference keeps all settings in settings.json,
+    src/Project.h:64-73)."""
+    proj_dir = str(tmp_path / "rtproj")
+    cli_main([
+        "new", proj_dir, "--obj", obj_path, "--init-field", "mono",
+        "--resolution", "32", "--capacity", "512",
+    ])
+    rt_file = os.path.join(proj_dir, "runtime.json")
+    assert os.path.exists(rt_file)
+    rt = RuntimeConfig.load(rt_file)
+    assert rt.render_resolution_x == 32 and rt.splats_capacity == 512
+
+    sfile = os.path.join(proj_dir, "settings.json")
+    cfg = json.load(open(sfile))
+    cfg["sphere1"]["count"] = 2
+    cfg["sphere2"]["count"] = 0
+    cfg["rtSamples"] = 2
+    cfg["intervalCapture"] = 0
+    cfg["intervalDensify"] = 0
+    json.dump(cfg, open(sfile, "w"))
+
+    # no --resolution/--capacity flags: the persisted runtime must be used
+    cli_main(["train", proj_dir, "--steps", "2"])
+    assert json.load(open(sfile))["iterations"] == 2
+    rt2 = RuntimeConfig.load(rt_file)
+    assert rt2.render_resolution_x == 32 and rt2.splats_capacity == 512
+
+    # an explicit flag overrides the persisted value and re-persists
+    cli_main(["train", proj_dir, "--steps", "1", "--capacity", "1024"])
+    rt3 = RuntimeConfig.load(rt_file)
+    assert rt3.splats_capacity == 1024
+    assert rt3.render_resolution_x == 32  # untouched fields persist
+
+
+def test_snapshot_series_orbits_preview(obj_path, tmp_path):
+    """The snapshot series advances the free-orbit preview clock like the
+    reference's per-tick update (src/ui/UiFrame.cpp:272), so successive
+    snapshots orbit the model instead of repeating one static view."""
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("mono")
+    assert s.project.previewFreeOrbit
+    t0 = s.project.previewTimer
+    s.auto_train(3, snapshot_dir=str(tmp_path / "snaps"), snapshot_every=1)
+    assert s.project.previewTimer > t0
+
+
 def test_cli_doctor(capsys):
     """gsplat-tpu doctor: numerics gate + micro step benchmark on the
     attached backend (NEXT.md robustness item)."""

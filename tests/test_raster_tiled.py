@@ -803,5 +803,10 @@ def test_window_worklist_multiwindow_tiles():
         jnp.asarray(bins.tile_start), jnp.asarray(bins.tile_end),
         (W // TILE) * (H // TILE), max_dup, chunk,
     )
-    nw = np.asarray(w2.work_tile).shape  # list built without error
+    # every multi-window tile contributes 2*ceil(seg/chunk) items (pass-1
+    # + pass-2 per window); single-window tiles — including empty ones,
+    # which still emit their residual — are one fused item
+    windows = np.ceil(seg / chunk).astype(int)
+    expected = int(np.sum(np.where(windows > 1, 2 * windows, 1)))
+    assert int(w2.num_work) == expected
     assert int(w2.num_work) > (W // TILE) * (H // TILE)
