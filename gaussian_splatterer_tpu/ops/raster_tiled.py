@@ -1145,11 +1145,28 @@ def render_train_grads_batch(
         num_keys=1,
         is_stable=False,  # keys are a permutation of 0..D-1: unique
     )
-    d_pre9 = jnp.stack(sorted_ops[1:]).reshape(9, f * max_dup)
-    cs9 = jnp.cumsum(d_pre9, axis=1)
+    d_pre9 = jnp.stack(sorted_ops[1:])  # (9, F, D)
+    # PER-FRAME cumsums (axis=2), flattened back to global ids.  A single
+    # global cumsum over the concatenated F*D axis accumulates across
+    # frames, so late frames' segment differences subtract two large
+    # running sums — measured 5.5e-3 absolute noise on the densify
+    # variance signal at 8 frames x 75k duplicates (found by the
+    # realistic-shape DP exactness test: the camera-sharded step, which
+    # necessarily cumsums per frame, was the ACCURATE one).  Per-frame
+    # cumsums cost the same and make single-device == camera-DP to
+    # reassociation noise.
+    cs9 = jnp.cumsum(d_pre9, axis=2).reshape(9, f * max_dup)
     fD = f * max_dup
+    # a segment starting at its OWN frame's first dup column has zero
+    # prefix (frame-local cumsum).  The frame must come from the slot id,
+    # not from seg_start % max_dup: when a frame's duplicates exactly
+    # fill max_dup, its empty tail slots start at (j+1)*max_dup — a
+    # modulo test would zero their prefix and dump the whole frame sum
+    # onto the last slot's splat.
+    slot_frame = jnp.arange(f * n_cap, dtype=jnp.int32) // n_cap
+    frame_first = bins.seg_start_g == slot_frame * max_dup
     lo9 = jnp.where(
-        (bins.seg_start_g > 0)[None, :],
+        ~frame_first[None, :],
         cs9[:, jnp.clip(bins.seg_start_g - 1, 0, fD - 1)],
         0.0,
     )
@@ -1158,8 +1175,12 @@ def render_train_grads_batch(
     # boundaries, and the cumsum is constant over each frame's tail slack
     # because out-of-range dup columns contribute exactly zero), so
     # hi9[k] == lo9[k+1] — a lane shift replaces the second 512k-column
-    # gather (measured 24 ms/step at 16 frames).
-    hi9 = jnp.concatenate([lo9[:, 1:], cs9[:, fD - 1 : fD]], axis=1)
+    # gather (measured 24 ms/step at 16 frames) — EXCEPT each frame's
+    # LAST depth slot, whose hi is its own frame's cumsum total (the
+    # shifted lo9 there is the next frame's zero prefix).
+    hi9 = jnp.concatenate([lo9[:, 1:], jnp.zeros((9, 1), jnp.float32)], axis=1)
+    frame_totals = cs9.reshape(9, f, max_dup)[:, :, max_dup - 1]  # (9, F)
+    hi9 = hi9.at[:, n_cap - 1 :: n_cap].set(frame_totals)
     seg9 = hi9 - lo9  # (9, F*N) per global depth slot
     d_rows9 = seg9[:, bins.inv_depth_flat]  # per original row id
     d_rows = jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)

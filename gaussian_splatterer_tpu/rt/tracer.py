@@ -81,14 +81,12 @@ def _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
             e2x[None], e2y[None], e2z[None],
             valid[None],
         )
-        j = jnp.argmin(t, axis=1)  # (R,)
-        rr = jnp.arange(r)
-        tj = t[rr, j]
+        tj, uj, vj, j = _best_lane(t, u, v, ck * tri_chunk)
         closer = tj < best_t
         best_t = jnp.where(closer, tj, best_t)
-        best_i = jnp.where(closer, ck * tri_chunk + j, best_i)
-        best_u = jnp.where(closer, u[rr, j], best_u)
-        best_v = jnp.where(closer, v[rr, j], best_v)
+        best_i = jnp.where(closer, j, best_i)
+        best_u = jnp.where(closer, uj, best_u)
+        best_v = jnp.where(closer, vj, best_v)
         return (best_t, best_i, best_u, best_v), None
 
     init = (
@@ -101,6 +99,24 @@ def _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
         chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return t, i, u, v
+
+
+def _best_lane(t, u, v, idx_base):
+    """Per-row argmin of t plus the winning u/v/global-index, GATHER-FREE.
+
+    ``t[rr, j]``-style take-alongs lower to serial element gathers on TPU
+    (~8 ns/row — they dominated the bounce loop at 70% of device time,
+    round-4 profile); a one-hot masked reduction is pure VPU work.  argmin
+    returns the FIRST minimum, so the one-hot is built from the index —
+    exact and deterministic even under ties.  ``idx_base`` may be a traced
+    scalar (the culled march passes per-ray chunk offsets as a column)."""
+    tc = t.shape[1]
+    j = jnp.argmin(t, axis=1).astype(jnp.int32)  # (R,)
+    onehot = jnp.arange(tc, dtype=jnp.int32)[None, :] == j[:, None]
+    tj = jnp.sum(jnp.where(onehot, t, 0.0), axis=1)
+    uj = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+    vj = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+    return tj, uj, vj, idx_base + j
 
 
 def _mt_hit(ox, oy, oz, dx, dy, dz, ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
@@ -157,7 +173,6 @@ def _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     )
 
     li = jnp.arange(tri_chunk, dtype=jnp.int32)[None, :]  # (1, Tc)
-    rr = jnp.arange(r)
 
     def cond(state):
         s, best_t, *_ = state
@@ -170,25 +185,27 @@ def _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
         se = key_sorted[:, sc]  # (R,) this step's chunk entry distance
         ck = order[:, sc]  # (R,) chunk id per ray
         idx = ck[:, None] * tri_chunk + li  # (R, Tc) triangle indices
-        g = lambda name: tris[name][idx]
+        # ONE batched (10, R*Tc) column gather for all geometry fields —
+        # ten separate (R, Tc) element gathers ran at ~8 ns/element and
+        # dominated the march (PERF.md round-1 "batch every table lookup")
+        g10 = tris["geo10"][:, idx.reshape(-1)].reshape(10, r, tri_chunk)
         t, u, v = _mt_hit(
             ox[:, None], oy[:, None], oz[:, None],
             dx[:, None], dy[:, None], dz[:, None],
-            g("ax"), g("ay"), g("az"),
-            g("e1x"), g("e1y"), g("e1z"),
-            g("e2x"), g("e2y"), g("e2z"),
-            g("valid"),
+            g10[0], g10[1], g10[2],
+            g10[3], g10[4], g10[5],
+            g10[6], g10[7], g10[8],
+            g10[9] > 0.5,
         )
         # rays whose best hit already precedes this chunk skip it
         useful = se < best_t
         t = jnp.where(useful[:, None], t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        tj = t[rr, j]
+        tj, uj, vj, j = _best_lane(t, u, v, ck * tri_chunk)
         closer = tj < best_t
         best_t = jnp.where(closer, tj, best_t)
-        best_i = jnp.where(closer, idx[rr, j], best_i)
-        best_u = jnp.where(closer, u[rr, j], best_u)
-        best_v = jnp.where(closer, v[rr, j], best_v)
+        best_i = jnp.where(closer, j, best_i)
+        best_u = jnp.where(closer, uj, best_u)
+        best_v = jnp.where(closer, vj, best_v)
         return s + 1, best_t, best_i, best_u, best_v
 
     state = (
@@ -275,14 +292,96 @@ def _intersect_shared(o3, dx, dy, dz, tris, tri_chunk: int):
             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_TMIN)
         )
         t = jnp.where(hit, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)  # (R,)
-        rr = jnp.arange(r)
-        tj = t[rr, j]
+        tj, uj, vj, j = _best_lane(t, u, v, ck * tri_chunk)
         closer = tj < best_t
         best_t = jnp.where(closer, tj, best_t)
-        best_i = jnp.where(closer, ck * tri_chunk + j, best_i)
-        best_u = jnp.where(closer, u[rr, j], best_u)
-        best_v = jnp.where(closer, v[rr, j], best_v)
+        best_i = jnp.where(closer, j, best_i)
+        best_u = jnp.where(closer, uj, best_u)
+        best_v = jnp.where(closer, vj, best_v)
+        return (best_t, best_i, best_u, best_v), None
+
+    init = (
+        jnp.full((r,), jnp.inf, jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    (t, i, u, v), _ = jax.lax.scan(
+        chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return t, i, u, v
+
+
+def _intersect_mxu_general(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
+    """Möller-Trumbore for ARBITRARY-origin rays (the bounce pass) as one
+    MXU matmul per triangle chunk.
+
+    All four MT quantities are linear in the 10-wide ray feature vector
+    r = [d, o x d, o, 1] (c := o x d; triple-product rotations):
+        det   = d . (e2 x e1)                       = d . fdet
+        u_num = (o-a).(d x e2) = c . e2 + d.(a x e2)
+        v_num = d.((o-a) x e1) = -c . e1 - d.(a x e1)
+        t_num = e2.((o-a) x e1) = a . fdet - o . fdet
+    so one (R, 10) x (10, 4*Tc) matmul at precision=HIGHEST (geometry on
+    the TPU's default single-pass bf16 matmul is measured poison, PERF.md)
+    evaluates every (ray, triangle) pair; the epilogue is ~12 VPU ops/pair
+    — the same shape that took the shared-origin primary pass from 684 to
+    1.3 ms/frame.  The per-triangle feature matrix is precomputed at scene
+    load (RtxHost.load_model, "feat10") — building it per call would put
+    O(T) VPU work inside every bounce chunk-step.
+
+    t_num's cancellation ((a - o).fdet with bounce origins ON the mesh) is
+    bounded by the HIGHEST-precision matmul: absolute error ~1e-7 x
+    |o||fdet| against t_num >= RAY_TMIN*det — worst case ~1e-4 relative on
+    t, absorbed by the same RAY_TMIN offset that exists for exactly this
+    class of self-intersection noise.
+
+    Keep R * 4*Tc under ~100 MB: XLA stops fusing the matmul output into
+    the epilogue + argmin past that (measured on the primary pass), and
+    the whole win is never materializing the (R, 4Tc) plane."""
+    r = dx.shape[0]
+    n_chunks = tris["ax"].shape[0] // tri_chunk
+    feats = tris["feat10"]  # (10, 4*T), chunk-contiguous column groups
+
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    r10 = jnp.stack(
+        [dx, dy, dz, cx, cy, cz, ox, oy, oz, jnp.ones_like(dx)], axis=1
+    )  # (R, 10)
+
+    def chunk_body(carry, ck):
+        best_t, best_i, best_u, best_v = carry
+        g = jax.lax.dynamic_slice_in_dim(
+            feats, ck * (4 * tri_chunk), 4 * tri_chunk, axis=1
+        )  # (10, 4*Tc)
+        valid = jax.lax.dynamic_slice_in_dim(
+            tris["valid"], ck * tri_chunk, tri_chunk
+        )
+        nums = jax.lax.dot_general(
+            r10, g, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (R, 4*Tc): [det | u_num | v_num | t_num] column BLOCKS —
+        # quantity-major so every slice below is lane-contiguous (a
+        # (R, Tc, 4) quantity-minor layout pads the 4-wide minor dim to
+        # the 128-lane tile: 32x the memory traffic)
+        det = nums[:, 0:tri_chunk]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        u = nums[:, tri_chunk : 2 * tri_chunk] * inv_det
+        v = nums[:, 2 * tri_chunk : 3 * tri_chunk] * inv_det
+        t = nums[:, 3 * tri_chunk :] * inv_det
+        hit = (
+            valid[None, :]
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_TMIN)
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        tj, uj, vj, j = _best_lane(t, u, v, ck * tri_chunk)
+        closer = tj < best_t
+        best_t = jnp.where(closer, tj, best_t)
+        best_i = jnp.where(closer, j, best_i)
+        best_u = jnp.where(closer, uj, best_u)
+        best_v = jnp.where(closer, vj, best_v)
         return (best_t, best_i, best_u, best_v), None
 
     init = (
@@ -300,6 +399,8 @@ def _intersect_shared(o3, dx, dy, dz, tris, tri_chunk: int):
 def _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     if "bb_minx" in tris:
         return _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
+    if "feat10" in tris:
+        return _intersect_mxu_general(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
     return _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
 
 
@@ -313,7 +414,7 @@ def _unit_sphere(key, shape):
     return g * rad[..., None]
 
 
-def _bounce_step(tris, texture, background, env, tri_chunk: int,
+def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
                  ox, oy, oz, dx, dy, dz, atten, result, alive, reflected,
                  key, shared_origin=None):
     """One path-tracing bounce for a flat ray batch (the reference device
@@ -321,12 +422,16 @@ def _bounce_step(tris, texture, background, env, tri_chunk: int,
     this step's raw intersection distance (inf on miss — the primary pass
     uses it for the orb overlay).
 
+    ``tex_cm``: diffuse texture CHANNEL-MAJOR (4, th, tw) so the texel
+    lookup is one 2-D column gather (the fast TPU gather path) instead of
+    an element-rate (R, 4) row gather.
+
     ``env``: optional (He, We, 3) equirectangular environment map replacing
     the reference's hard-coded white-gradient sky for BOUNCED miss rays
     (the RtxDevice.cu:155 TODO; primary misses keep the background color
     per the reference semantic).  Nearest-neighbor lookup."""
     r = ox.shape[0]
-    th, tw = texture.shape[0], texture.shape[1]
+    th, tw = tex_cm.shape[1], tex_cm.shape[2]
     kalpha, kscatter = jax.random.split(key)
     if shared_origin is not None:
         # primary pass: all rays share the eye — MXU matmul intersector
@@ -352,20 +457,22 @@ def _bounce_step(tris, texture, background, env, tri_chunk: int,
     missed = alive & ~jnp.isfinite(t)
     result = jnp.where(missed[:, None], miss_out, result)
 
-    # surface data at the hit
-    uvx = (1.0 - bu - bv) * tris["uv0x"][tri] + bu * tris["uv1x"][tri] + bv * tris["uv2x"][tri]
-    uvy = (1.0 - bu - bv) * tris["uv0y"][tri] + bu * tris["uv1y"][tri] + bv * tris["uv2y"][tri]
+    # surface data at the hit — ONE batched (9, R) column gather for all
+    # per-triangle attributes (uv corners + normal); nine separate 1-D
+    # gathers ran at element rate and dominated the bounce loop
+    att = tris["attr9"][:, tri]  # (9, R)
+    uvx = (1.0 - bu - bv) * att[0] + bu * att[2] + bv * att[4]
+    uvy = (1.0 - bu - bv) * att[1] + bu * att[3] + bv * att[5]
     # nearest-neighbor, wrap addressing, flipped V
     px = jnp.mod(jnp.floor(uvx * tw), tw).astype(jnp.int32)
     py = jnp.mod(jnp.floor((1.0 - uvy) * th), th).astype(jnp.int32)
-    texel = texture[py, px]  # (R, 4)
+    texel = tex_cm.reshape(4, th * tw)[:, py * tw + px]  # (4, R)
 
     # stochastic alpha: texture.w > rand -> material hit
     u_alpha = jax.random.uniform(kalpha, (r,))
-    solid = hit & (texel[:, 3] > u_alpha)
+    solid = hit & (texel[3] > u_alpha)
 
-    nx, ny, nz = tris["nx"][tri], tris["ny"][tri], tris["nz"][tri]
-    scatter = jnp.stack([nx, ny, nz], -1) + _unit_sphere(kscatter, (r,))
+    scatter = jnp.stack([att[6], att[7], att[8]], -1) + _unit_sphere(kscatter, (r,))
 
     tsafe = jnp.where(jnp.isfinite(t), t, 0.0)
     ox = jnp.where(hit, ox + tsafe * dx, ox)
@@ -374,7 +481,7 @@ def _bounce_step(tris, texture, background, env, tri_chunk: int,
     dx = jnp.where(solid, scatter[:, 0], dx)
     dy = jnp.where(solid, scatter[:, 1], dy)
     dz = jnp.where(solid, scatter[:, 2], dz)
-    atten = jnp.where(solid[:, None], atten * texel[:, 0:3], atten)
+    atten = jnp.where(solid[:, None], atten * jnp.transpose(texel[0:3]), atten)
     reflected = reflected | solid
     alive = alive & hit  # miss rays are done; hit rays continue
 
@@ -393,6 +500,7 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
     the compacted chunks — same math, ~an order of magnitude less device
     work when most primaries miss or terminate early."""
     r = origins.shape[0]
+    texture = jnp.moveaxis(jnp.asarray(texture, jnp.float32), -1, 0)  # (4, th, tw)
     background = jnp.asarray(background, jnp.float32)
     state = (
         origins[:, 0], origins[:, 1], origins[:, 2],
@@ -441,6 +549,8 @@ def render_rtx_sums(
     ray_chunk: int = 16384,
     tri_chunk: int = 512,
     env: Optional[jax.Array] = None,
+    bounce_chunk: int = 4096,
+    bounce_round: int = 6,
 ):
     """One dispatch of ``samples`` paths per pixel: returns the flat
     (n_pix, 3) color SUM and (n_pix,) orb-overlay mask, so the host can
@@ -449,11 +559,16 @@ def render_rtx_sums(
     1024^2 x 32 samples — ~19 minutes of queued device time)."""
     background = jnp.asarray(background, jnp.float32)
     cam_location = jnp.asarray(cam_location, jnp.float32)
+    # channel-major texture: the bounce texel lookup becomes one 2-D
+    # column gather (one cheap transpose per dispatch)
+    texture = jnp.moveaxis(jnp.asarray(texture, jnp.float32), -1, 0)
     n_pix = width * height
     # pad the flat pixel list to a chunk multiple (odd resolutions would
     # otherwise need a pathological chunk size); pad rays re-trace pixel 0
     # and are cropped on return
     n_pad = -(-n_pix // ray_chunk) * ray_chunk
+    if ray_chunk % bounce_chunk:
+        bounce_chunk = ray_chunk  # bounce chunks must tile the pad
 
     pix = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
     pxi = (pix % width).astype(jnp.float32)
@@ -465,16 +580,17 @@ def render_rtx_sums(
         """One path-traced sample for every pixel, in two phases:
 
         1. PRIMARY: generate + intersect camera rays for all chunks (one
-           bounce step each — no loop).
+           bounce step each — no loop; the shared eye origin rides the
+           MXU matmul intersector).
         2. BOUNCE: compact the surviving rays to the front of the frame
            (stable sort on the dead flag — deterministic, so the culled
            and brute-force intersectors still agree bit-for-bit), then
-           run the bounce while-loop per chunk.  All-dead chunks exit
-           their loop at iteration 0, so the tail-latency cost of "march
-           every chunk until its LAST ray dies" is only paid by the few
-           chunks that still hold live rays (typically <10% of rays
-           survive the primary bounce: misses die immediately).  Same
-           math, ~10x less device work on real captures."""
+           run the bounce while-loop per bounce_chunk-sized chunk.
+           All-dead chunks exit their loop at iteration 0, so the
+           tail-latency cost of "march every chunk until its LAST ray
+           dies" is only paid by the few chunks that still hold live
+           rays (typically <10% of rays survive the primary bounce:
+           misses die immediately)."""
         color_acc, orb_acc = carry
         kj, kt, kb = jax.random.split(k, 3)
 
@@ -545,50 +661,96 @@ def render_rtx_sums(
         pres = jnp.moveaxis(pres_c, 0, 1).reshape(3, n_pad)
         alive_primary = rows[9] > 0.5
 
-        # ---- compact: survivors first (one row-gather — the fast path) --
+        # ---- bounce phase: PHASED alive re-compaction -------------------
+        # State rows: [o(3), d(3), atten(3), alive, refl, result(3)] = 14
+        # float rows + a separate int32 ray-id vector (permuted alongside;
+        # integer so ids stay exact past f32's 2^24 on huge renders).
+        # Each phase runs the per-chunk bounce while-loops for at most
+        # bounce_round bounces (bounce_chunk <= ray_chunk chunks; all-dead
+        # chunks exit at trip 0), then STABLE-sorts survivors back to the
+        # front.  Without re-compaction a handful of trapped rays (e.g.
+        # scattered into a closed mesh's interior, bouncing to the 50-cap)
+        # pin EVERY chunk they occupy for the full 50 iterations — the
+        # round-3 shape's dominant cost.  The phase loop is a while_loop
+        # that exits as soon as every ray is dead.
         iota = jnp.arange(n_pad, dtype=jnp.int32)
-        _, perm = jax.lax.sort_key_val(
-            (~alive_primary).astype(jnp.int32), iota, is_stable=True
-        )
-        _, inv_perm = jax.lax.sort_key_val(perm, iota, is_stable=False)
-        srows = rows[:, perm].reshape(11, n_chunks, ray_chunk)
+        nbc = n_pad // bounce_chunk
+        st0 = jnp.concatenate([rows, jnp.zeros((3, n_pad), jnp.float32)])
 
-        def bounce_chunk(args):
-            st, c = args  # (11, ray_chunk), ()
-            state = (
-                st[0], st[1], st[2], st[3], st[4], st[5],
-                jnp.transpose(st[6:9]),
-                jnp.zeros((ray_chunk, 3), jnp.float32),
-                st[9] > 0.5,
-                st[10] > 0.5,
+        def compact(st, ids):
+            alive = st[9] > 0.5
+            _, perm = jax.lax.sort_key_val(
+                (~alive).astype(jnp.int32), iota, is_stable=True
             )
+            return st[:, perm], ids[perm]
 
-            def cond(s):
-                i, state, _ = s
-                return (i < bounces) & jnp.any(state[8])
+        st0, ids0 = compact(st0, iota)
+        n_phases = -(-(bounces - 1) // bounce_round) if bounces > 1 else 0
 
-            def body(s):
-                i, state, key = s
-                key, kk = jax.random.split(key)
-                state, _ = _bounce_step(
-                    tris, texture, background, env, tri_chunk, *state, kk
+        def phase_cond(s):
+            p, st, ids, key = s
+            return (p < n_phases) & jnp.any(st[9] > 0.5)
+
+        def phase_body(s):
+            p, st, ids, key = s
+            key, kp = jax.random.split(key)
+            start = 1 + p * bounce_round
+            stop = jnp.minimum(start + bounce_round, bounces)
+
+            def chunk_fn(args):
+                blk, c = args  # (14, bounce_chunk), ()
+                state = (
+                    blk[0], blk[1], blk[2], blk[3], blk[4], blk[5],
+                    jnp.transpose(blk[6:9]),
+                    jnp.transpose(blk[11:14]),
+                    blk[9] > 0.5,
+                    blk[10] > 0.5,
                 )
-                return i + 1, state, key
 
-            _, state, _ = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(1), state, jax.random.fold_in(kb, c)),
-            )
-            result, alive = state[7], state[8]
-            # rays alive past the bounce cap return black (reference :57)
-            result = jnp.where(alive[:, None], 0.0, result)
-            return jnp.transpose(result)  # (3, ray_chunk)
+                def cond(si):
+                    i, state, _ = si
+                    return (i < stop) & jnp.any(state[8])
 
-        bres_c = jax.lax.map(
-            bounce_chunk,
-            (jnp.moveaxis(srows, 1, 0), jnp.arange(n_chunks, dtype=jnp.int32)),
-        )  # (NC, 3, R)
-        bres = jnp.moveaxis(bres_c, 0, 1).reshape(3, n_pad)[:, inv_perm]
+                def body(si):
+                    i, state, kk = si
+                    kk, k2 = jax.random.split(kk)
+                    state, _ = _bounce_step(
+                        tris, texture, background, env, tri_chunk, *state, k2
+                    )
+                    return i + 1, state, kk
+
+                _, state, _ = jax.lax.while_loop(
+                    cond, body, (start, state, jax.random.fold_in(kp, c))
+                )
+                (ox, oy, oz, dx, dy, dz, atten, result, alive, refl) = state
+                return jnp.concatenate([
+                    jnp.stack([ox, oy, oz, dx, dy, dz]),
+                    jnp.transpose(atten),
+                    jnp.stack([
+                        alive.astype(jnp.float32), refl.astype(jnp.float32),
+                    ]),
+                    jnp.transpose(result),
+                ])  # (14, bounce_chunk)
+
+            blocks = jax.lax.map(
+                chunk_fn,
+                (
+                    jnp.moveaxis(st.reshape(14, nbc, bounce_chunk), 1, 0),
+                    jnp.arange(nbc, dtype=jnp.int32),
+                ),
+            )  # (NBC, 14, R)
+            st = jnp.moveaxis(blocks, 0, 1).reshape(14, n_pad)
+            st, ids = compact(st, ids)
+            return p + 1, st, ids, key
+
+        _, st, ids, _ = jax.lax.while_loop(
+            phase_cond, phase_body, (jnp.int32(0), st0, ids0, kb)
+        )
+        # rays alive past the bounce cap return black (reference :57)
+        bres_c = jnp.where((st[9] > 0.5)[None, :], 0.0, st[11:14])
+        # un-permute via one unstable sort on the unique ray ids
+        _, order = jax.lax.sort_key_val(ids, iota, is_stable=False)
+        bres = bres_c[:, order]
         color = jnp.where(alive_primary[None, :], bres, pres)
         color = jnp.clip(jnp.transpose(color), 0.0, 1.0)  # (n_pad, 3)
         return (
@@ -650,9 +812,25 @@ class RtxHost:
     black with no model loaded, mid-gray fallback texture."""
 
     def __init__(self, tri_chunk: int = 512, ray_chunk: int = 16384,
-                 sample_batch: int = 8):
+                 sample_batch: int = 8, bounce_chunk: int = 4096,
+                 max_inflight: int = 4, bounce_round: int = 6):
         self.tri_chunk = tri_chunk
         self.ray_chunk = ray_chunk
+        # bounce-phase chunk width: smaller than ray_chunk so per-chunk
+        # while-loops track the geometric decay of live rays at finer
+        # granularity (must divide ray_chunk; falls back to it), and the
+        # MXU intersector's (R, 4*Tc) plane stays fusion-friendly
+        self.bounce_chunk = bounce_chunk
+        # bounces per phase between alive re-compactions (render_rtx_sums)
+        self.bounce_round = bounce_round
+        # sample-batch dispatches in flight before blocking: pipelining
+        # hides the tunnel's ~30 ms/dispatch host latency under device
+        # work (a 16-camera x 2-background x 4-batch recapture is 128
+        # dispatches — serial blocking costs ~4 s of pure latency), while
+        # the bound still prevents the wedged-worker failure mode of
+        # minutes of queued device work
+        self.max_inflight = max_inflight
+        self._inflight: list = []
         # samples per DISPATCH: one all-samples program at 1024^2 x 32
         # queued ~19 min of device work and killed the tunneled worker;
         # batching bounds each dispatch and syncs between them
@@ -664,12 +842,19 @@ class RtxHost:
         self._render = jax.jit(
             render_rtx_sums,
             static_argnames=("width", "height", "samples", "bounces",
-                            "ray_chunk", "tri_chunk"),
+                            "ray_chunk", "tri_chunk", "bounce_chunk",
+                            "bounce_round"),
         )
         self._seed = 0
 
     # -- scene management (reference RtxHost::loadModel / loadTextureDiffuse)
-    def load_model(self, source, progress=None, accel_min: int = 2 * 512) -> None:
+    def load_model(self, source, progress=None, accel_min: int = 2 * 512,
+                   mxu_bounce: bool = True) -> None:
+        """``accel_min``: triangle count past which the Morton-chunk AABB
+        march replaces brute force.  ``mxu_bounce``: on brute-force scenes,
+        precompute the feature matrix that routes BOUNCE rays through the
+        general-origin MXU matmul intersector (same math up to f32
+        rounding; False keeps the VPU component form for exact A/B)."""
         mesh = source if isinstance(source, TriangleMesh) else load_obj(source, progress)
         self.mesh = mesh
         t = mesh.num_triangles
@@ -708,11 +893,14 @@ class RtxHost:
             "ax": jnp.asarray(a[:, 0]), "ay": jnp.asarray(a[:, 1]), "az": jnp.asarray(a[:, 2]),
             "e1x": jnp.asarray(e1[:, 0]), "e1y": jnp.asarray(e1[:, 1]), "e1z": jnp.asarray(e1[:, 2]),
             "e2x": jnp.asarray(e2[:, 0]), "e2y": jnp.asarray(e2[:, 1]), "e2z": jnp.asarray(e2[:, 2]),
-            "nx": jnp.asarray(nrm[:, 0]), "ny": jnp.asarray(nrm[:, 1]), "nz": jnp.asarray(nrm[:, 2]),
-            "uv0x": jnp.asarray(uv[:, 0, 0]), "uv0y": jnp.asarray(uv[:, 0, 1]),
-            "uv1x": jnp.asarray(uv[:, 1, 0]), "uv1y": jnp.asarray(uv[:, 1, 1]),
-            "uv2x": jnp.asarray(uv[:, 2, 0]), "uv2y": jnp.asarray(uv[:, 2, 1]),
             "valid": jnp.asarray(valid),
+            # batched surface-attribute table: [uv0 uv1 uv2 (xy each), n]
+            # — one (9, R) column gather per bounce replaces nine 1-D
+            # element gathers (_bounce_step)
+            "attr9": jnp.asarray(np.stack([
+                uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
+                uv[:, 2, 0], uv[:, 2, 1], nrm[:, 0], nrm[:, 1], nrm[:, 2],
+            ])),
         }
         if use_accel:
             nc = tc // self.tri_chunk
@@ -727,7 +915,36 @@ class RtxHost:
                 "bb_minz": jnp.asarray(mn[:, 2]),
                 "bb_maxx": jnp.asarray(mx[:, 0]), "bb_maxy": jnp.asarray(mx[:, 1]),
                 "bb_maxz": jnp.asarray(mx[:, 2]),
+                # batched geometry table for the culled march: one
+                # (10, R*Tc) column gather per step instead of ten
+                # element-rate (R, Tc) gathers
+                "geo10": jnp.asarray(np.concatenate([
+                    a.T, e1.T, e2.T, valid[None].astype(np.float32),
+                ])),
             })
+        elif mxu_bounce:
+            # general-origin MXU intersector feature matrix (10, 4*tc):
+            # per-chunk column blocks [det | u_num | v_num | t_num], each
+            # linear in the ray features [d, o x d, o, 1]
+            # (_intersect_mxu_general).  Quantity-MAJOR within each chunk
+            # so the epilogue slices are lane-contiguous, chunk-contiguous
+            # overall so the per-chunk fetch is one dynamic_slice.
+            fdet = np.cross(e2, e1)
+            featq = np.zeros((4, tc, 10), np.float32)
+            featq[0, :, 0:3] = fdet
+            featq[1, :, 0:3] = np.cross(a, e2)
+            featq[1, :, 3:6] = e2
+            featq[2, :, 0:3] = -np.cross(a, e1)
+            featq[2, :, 3:6] = -e1
+            featq[3, :, 6:9] = -fdet
+            featq[3, :, 9] = np.sum(a * fdet, axis=-1)
+            ncb = tc // self.tri_chunk
+            f10 = (
+                featq.reshape(4, ncb, self.tri_chunk, 10)
+                .transpose(3, 1, 0, 2)
+                .reshape(10, 4 * tc)
+            )
+            self._tris["feat10"] = jnp.asarray(np.ascontiguousarray(f10))
 
     def load_texture_diffuse(self, source) -> None:
         tex = source if isinstance(source, np.ndarray) else load_texture_rgba(source)
@@ -788,12 +1005,22 @@ class RtxHost:
                 background=jnp.asarray(background, jnp.float32),
                 key=jax.random.fold_in(key, done), splat_cameras=cams,
                 bounces=bounces, ray_chunk=rc, tri_chunk=self.tri_chunk,
-                env=self._env,
+                env=self._env, bounce_chunk=self.bounce_chunk,
+                bounce_round=self.bounce_round,
             )
             color_sum = c if color_sum is None else color_sum + c
             orb = o if orb is None else orb | o
-            # sync per batch: bound the queued device work (see
-            # sample_batch) and surface worker faults at the right spot
-            jax.block_until_ready(color_sum)
+            # bounded pipelining: keep up to max_inflight sample batches
+            # queued (dispatch is async; the chained += keeps order), then
+            # retire the oldest — bounds queued device work (one giant
+            # all-samples program once wedged the tunneled worker) without
+            # paying a full tunnel round-trip per batch
+            self._inflight.append(color_sum)
+            if len(self._inflight) >= self.max_inflight:
+                jax.block_until_ready(self._inflight.pop(0))
+                self._inflight = [x for x in self._inflight if not x.is_ready()]
             done += b
+        # the final image is returned lazily: callers consume it through
+        # ordinary JAX ops (stacking truths, tiling) and block when they
+        # actually need the values — cross-CAMERA pipelining for free
         return finish_rtx(color_sum, orb, samples, width, height)

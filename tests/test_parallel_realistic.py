@@ -1,0 +1,162 @@
+"""Sharded steps at a REALISTIC duplicate-buffer/work-list shape.
+
+tests/test_parallel.py proves exactness at toy scale (24 splats / 128²);
+this file re-proves it at the headline bench scene's splat count — 50k
+random splats, ~75k tile duplicates, multi-window tiles, uneven per-band
+duplicate concentration — where band sharding's per-band buffer sizing and
+the frame-flattened work list could plausibly mis-split (VERDICT r3 weak
+#4).  Resolution is 256² rather than 1024²: the Pallas kernel runs in
+interpret mode on the CPU backend, and 1024² interpret steps take minutes
+each; every shape-class that differs between toy and production —
+duplicate counts beyond one chunk per tile, window work lists with
+two-pass tiles, band-imbalanced binning — is already exercised at 256².
+
+One single-device reference step is shared by all three mesh tests
+(session fixture) to bound runtime.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bench import build_scene
+from gaussian_splatterer_tpu.config import Project, RuntimeConfig
+from gaussian_splatterer_tpu.models.splats import SplatModel
+from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles_cm
+from gaussian_splatterer_tpu.train.trainer import (
+    CameraBatch,
+    LearningRates,
+    make_train_step,
+)
+
+RES = 256
+TILE = 32
+N_SPLATS = 50_000
+CAPACITY = 65_536
+MAX_DUP = 98_304  # ~75k true dups at this scene (chunk-multiple, 1.3x)
+N_CAMS = 4  # 8 frames: divisible by the 8-device camera axis
+
+
+def _runtime():
+    rt = RuntimeConfig()
+    rt.render_resolution_x = rt.render_resolution_y = RES
+    rt.splats_capacity = CAPACITY
+    rt.tile_px = TILE
+    rt.max_dup = MAX_DUP
+    return rt
+
+
+@pytest.fixture(scope="module")
+def scene():
+    params, active, views, pvs, poss, txs, tys, _ = build_scene(
+        N_SPLATS, CAPACITY, RES, RES, N_CAMS
+    )
+    model = SplatModel(
+        means=params[0], shs=params[1], scales=params[2],
+        opacities=params[3], rotations=params[4],
+        count=jnp.asarray(N_SPLATS, jnp.int32), sh_degree=1,
+    )
+    cams = CameraBatch(
+        view=views, proj_view=pvs, cam_pos=poss, tan_fovx=txs, tan_fovy=tys
+    )
+    rng = np.random.default_rng(3)
+    truths = jnp.asarray(
+        rng.uniform(0, 1, (2 * N_CAMS, RES, RES, 3)).astype(np.float32)
+    )
+    truth_tiles = jax.vmap(lambda im: image_to_tiles_cm(im, TILE))(truths)
+    return model, cams, truth_tiles
+
+
+@pytest.fixture(scope="module")
+def single_ref(scene):
+    model, cams, truth_tiles = scene
+    lrs = LearningRates.from_project(Project())
+    # fused_opts must match what the parallel builders derive from
+    # RuntimeConfig (fused_kw_from_runtime) — in particular chunk=256:
+    # a different chunk changes the window partition and therefore the
+    # in-kernel bf16 cumsum groupings (~1e-3 rounding differences that
+    # would read as a sharding bug)
+    single = make_train_step(
+        RES, RES, 1, renderer="tiled", fused=True,
+        fused_opts=dict(tile=TILE, max_dup=MAX_DUP, mm_bf16=True, chunk=256),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+    jax.block_until_ready(m1.means)
+    return m1, met1
+
+
+def _check(m1, met1, m2, met2, var_atol=5e-3):
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    # frame-batched (F=8 one launch) vs per-frame (F=1 per device)
+    # execution reassociates ~75k-duplicate float reductions: measured
+    # ~6e-5 RELATIVE noise on gradient sums at this scene (probe in
+    # PERF.md round 4) — var_loc elements reach ~4.7, so exactness holds
+    # to ~1e-3 absolute, not the toy tests' 5e-5.  Parameter updates
+    # absorb the learning rates (~5e-5) and stay inside 1e-5.
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=var_atol
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_realistic_shape(scene, single_ref):
+    """Camera-DP at 50k splats / ~75k duplicates == single device."""
+    from gaussian_splatterer_tpu.parallel.dp import (
+        make_camera_mesh,
+        make_dp_train_step,
+        shard_truths,
+    )
+
+    model, cams, truth_tiles = scene
+    m1, met1 = single_ref
+    lrs = LearningRates.from_project(Project())
+    mesh = make_camera_mesh(jax.devices()[:8])
+    dp = make_dp_train_step(mesh, RES, RES, 1, renderer="tiled",
+                            runtime=_runtime())
+    m2, met2 = dp(model, shard_truths(mesh, truth_tiles), cams, lrs)
+    _check(m1, met1, m2, met2)
+
+
+def test_band_realistic_shape(scene, single_ref):
+    """(1, 8) image-band sharding at a band-IMBALANCED duplicate
+    distribution (the bench scene concentrates splats centrally, so
+    central bands hold several times the edge bands' duplicates) ==
+    single device — per-band buffer sizing must not drop duplicates."""
+    from gaussian_splatterer_tpu.parallel.tp import (
+        make_tile_mesh,
+        make_tp_train_step,
+        shard_truths_tp,
+    )
+
+    model, cams, truth_tiles = scene
+    m1, met1 = single_ref
+    lrs = LearningRates.from_project(Project())
+    mesh = make_tile_mesh(1, 8, devices=jax.devices()[:8])
+    tp = make_tp_train_step(mesh, RES, RES, 1, runtime=_runtime())
+    m2, met2 = tp(model, shard_truths_tp(mesh, truth_tiles), cams, lrs)
+    _check(m1, met1, m2, met2)
+
+
+def test_3d_mesh_realistic_shape(scene, single_ref):
+    """camera x tile x splat (2, 2, 2) at 50k splats == single device."""
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        make_3d_train_step,
+        shard_model_3d,
+        shard_truths_3d,
+    )
+
+    model, cams, truth_tiles = scene
+    m1, met1 = single_ref
+    lrs = LearningRates.from_project(Project())
+    mesh = make_3d_mesh(2, 2, 2, devices=jax.devices()[:8])
+    step = make_3d_train_step(mesh, RES, RES, 1, runtime=_runtime())
+    m2, met2 = step(
+        shard_model_3d(mesh, model), shard_truths_3d(mesh, truth_tiles),
+        cams, lrs,
+    )
+    _check(m1, met1, m2, met2)

@@ -200,16 +200,85 @@ def test_shared_origin_intersector_matches_component_mt():
 
 
 def test_culled_matches_bruteforce():
-    """Morton-chunk AABB culling returns the same image as brute force."""
+    """Morton-chunk AABB culling returns the same image as brute force
+    (same component-form math, different traversal — must be exact;
+    mxu_bounce=False keeps the brute side on the component intersector)."""
     mesh = icosphere_like(12)  # 288 triangles
     tex = solid_texture(0.7, 0.4, 0.2)
     imgs = []
     for accel_min in (1, 10**9):  # force accel on / off
         host = RtxHost(tri_chunk=32, ray_chunk=RES * RES)
-        host.load_model(mesh, accel_min=accel_min)
+        host.load_model(mesh, accel_min=accel_min, mxu_bounce=False)
         host.load_texture_diffuse(tex)
         imgs.append(render(host, (0.1, 0.2, 0.3), samples=6, seed=5))
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+
+
+def test_mxu_general_intersector_matches_component_mt():
+    """The bounce pass's general-origin MXU matmul Möller-Trumbore
+    (_intersect_mxu_general) agrees with the component-form brute force on
+    hits, indices, and distances for SCATTERED ray origins (algebraically
+    equal triple-product formulas; only f32 rounding differs)."""
+    import jax
+
+    from gaussian_splatterer_tpu.rt import tracer as tr
+
+    mesh = icosphere_like(10)  # 200 triangles
+    host = RtxHost(tri_chunk=32, ray_chunk=256)
+    host.load_model(mesh, accel_min=10**9)  # brute path, feat10 present
+    tris = host._tris
+    assert "feat10" in tris
+
+    rng = np.random.default_rng(13)
+    # origins scattered around and ON the sphere surface (bounce origins
+    # sit on the mesh — the t_num cancellation case)
+    o = rng.normal(scale=2.5, size=(512, 3)).astype(np.float32)
+    o[:200] = o[:200] / np.linalg.norm(o[:200], axis=1, keepdims=True) * 1.5
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d[:256] = rng.normal(scale=0.4, size=(256, 3)).astype(np.float32) - o[:256] * 0.3
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t0, i0, u0, v0 = jax.jit(tr._intersect_chunked, static_argnums=7)(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tris, 32
+    )
+    t1, i1, u1, v1 = jax.jit(tr._intersect_mxu_general, static_argnums=7)(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tris, 32
+    )
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    hit0, hit1 = np.isfinite(t0), np.isfinite(t1)
+    # borderline (u/v/t within rounding of an inequality) rays may differ;
+    # tolerate a tiny disagreement fraction from the on-surface origins
+    agree = hit0 == hit1
+    assert agree.mean() > 0.99, f"hit disagreement {1 - agree.mean():.3f}"
+    both = hit0 & hit1 & (np.asarray(i0) == np.asarray(i1))
+    assert hit0.sum() > 150, "scene should produce plenty of hits"
+    assert both.sum() > 0.95 * (hit0 & hit1).sum()
+    np.testing.assert_allclose(t1[both], t0[both], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(u1)[both], np.asarray(u0)[both], rtol=1e-2, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v1)[both], np.asarray(v0)[both], rtol=1e-2, atol=1e-3
+    )
+
+
+def test_mxu_bounce_render_statistically_matches_component():
+    """Full renders with the MXU bounce intersector on vs off converge to
+    the same image (same RNG stream; only f32 rounding and borderline hit
+    flips differ, which MC noise dominates)."""
+    mesh = icosphere_like(12)
+    tex = solid_texture(0.7, 0.4, 0.2)
+    imgs = []
+    for mxu in (True, False):
+        host = RtxHost(tri_chunk=32, ray_chunk=RES * RES)
+        host.load_model(mesh, accel_min=10**9, mxu_bounce=mxu)
+        host.load_texture_diffuse(tex)
+        imgs.append(render(host, (0.1, 0.2, 0.3), samples=8, seed=5))
+    # identical to rounding on almost every pixel; a handful of borderline
+    # bounce-path flips are allowed
+    diff = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.98, f"{(diff >= 1e-3).mean():.3f} pixels differ"
+    assert abs(float(imgs[0].mean()) - float(imgs[1].mean())) < 5e-3
 
 
 def test_environment_map_sky():
