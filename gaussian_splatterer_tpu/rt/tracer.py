@@ -550,7 +550,7 @@ def render_rtx_sums(
     tri_chunk: int = 512,
     env: Optional[jax.Array] = None,
     bounce_chunk: int = 4096,
-    bounce_round: int = 6,
+    bounce_round: Optional[int] = None,
 ):
     """One dispatch of ``samples`` paths per pixel: returns the flat
     (n_pix, 3) color SUM and (n_pix,) orb-overlay mask, so the host can
@@ -685,17 +685,15 @@ def render_rtx_sums(
             return st[:, perm], ids[perm]
 
         st0, ids0 = compact(st0, iota)
-        n_phases = -(-(bounces - 1) // bounce_round) if bounces > 1 else 0
+        # bounce_round=None (default): ONE phase.  Re-compaction phases
+        # measured a net LOSS at the mushroom scenes (compact ~20 ms/
+        # sample at 1024^2 vs ~12 ms/phase of tail savings) — the knob
+        # stays for trap-heavy scenes where the tail dominates harder.
+        rnd = bounce_round if bounce_round else max(bounces - 1, 1)
+        n_phases = max(1, -(-(bounces - 1) // rnd)) if bounces > 1 else 1
 
-        def phase_cond(s):
-            p, st, ids, key = s
-            return (p < n_phases) & jnp.any(st[9] > 0.5)
-
-        def phase_body(s):
-            p, st, ids, key = s
-            key, kp = jax.random.split(key)
-            start = 1 + p * bounce_round
-            stop = jnp.minimum(start + bounce_round, bounces)
+        def run_phase(st, kp, start, stop):
+            """lax.map of per-chunk bounce while-loops over [start, stop)."""
 
             def chunk_fn(args):
                 blk, c = args  # (14, bounce_chunk), ()
@@ -720,7 +718,8 @@ def render_rtx_sums(
                     return i + 1, state, kk
 
                 _, state, _ = jax.lax.while_loop(
-                    cond, body, (start, state, jax.random.fold_in(kp, c))
+                    cond, body,
+                    (jnp.int32(0) + start, state, jax.random.fold_in(kp, c)),
                 )
                 (ox, oy, oz, dx, dy, dz, atten, result, alive, refl) = state
                 return jnp.concatenate([
@@ -739,13 +738,29 @@ def render_rtx_sums(
                     jnp.arange(nbc, dtype=jnp.int32),
                 ),
             )  # (NBC, 14, R)
-            st = jnp.moveaxis(blocks, 0, 1).reshape(14, n_pad)
+            return jnp.moveaxis(blocks, 0, 1).reshape(14, n_pad)
+
+        # phases 0..n-2 run in a while_loop (map + compact each); the
+        # FINAL phase runs outside it with no trailing compact, so
+        # n_phases == 1 (the default) is exactly the compact-once shape —
+        # the trailing compact alone measured ~20 ms/sample at 1024^2.
+        def phase_cond(s):
+            p, st, ids, key = s
+            return (p < n_phases - 1) & jnp.any(st[9] > 0.5)
+
+        def phase_body(s):
+            p, st, ids, key = s
+            key, kp = jax.random.split(key)
+            start = 1 + p * rnd
+            st = run_phase(st, kp, start, start + rnd)
             st, ids = compact(st, ids)
             return p + 1, st, ids, key
 
-        _, st, ids, _ = jax.lax.while_loop(
+        p, st, ids, key = jax.lax.while_loop(
             phase_cond, phase_body, (jnp.int32(0), st0, ids0, kb)
         )
+        st = run_phase(st, jax.random.split(key)[1], 1 + p * rnd,
+                       jnp.int32(bounces))
         # rays alive past the bounce cap return black (reference :57)
         bres_c = jnp.where((st[9] > 0.5)[None, :], 0.0, st[11:14])
         # un-permute via one unstable sort on the unique ray ids
@@ -813,7 +828,7 @@ class RtxHost:
 
     def __init__(self, tri_chunk: int = 512, ray_chunk: int = 16384,
                  sample_batch: int = 8, bounce_chunk: int = 4096,
-                 max_inflight: int = 4, bounce_round: int = 6):
+                 max_inflight: int = 4, bounce_round: Optional[int] = None):
         self.tri_chunk = tri_chunk
         self.ray_chunk = ray_chunk
         # bounce-phase chunk width: smaller than ray_chunk so per-chunk
