@@ -166,7 +166,7 @@ class Session:
             if on_step is not None:
                 on_step(it, metrics)
 
-        auto_train(
+        return auto_train(
             self.trainer, self.rtx, steps, rng=self.rng,
             on_step=log_step, rate_limit=rate_limit,
         )

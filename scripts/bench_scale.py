@@ -78,7 +78,6 @@ def run_size(n_splats: int, frames: int, verbose: bool = True):
     probe_dup = round_chunk(max(2**18, int(n_splats * 2.5)))
     probe = make(probe_dup, None, 1)
     out = probe(params, tt[:1])
-    jax.block_until_ready(out)
     nd, nw = int(out[2]), int(out[3])
     if nd > probe_dup:
         print(f"probe overflowed: {nd} > {probe_dup}", file=sys.stderr)
@@ -99,35 +98,17 @@ def run_size(n_splats: int, frames: int, verbose: bool = True):
 
     fwdbwd = make(max_dup, work_cap, group)
     out = fwdbwd(params, tt[:group])  # compile
-    jax.block_until_ready(out)
+    np.asarray(out[0])
     assert int(out[2]) <= max_dup and int(out[3]) <= work_cap
     t0 = time.perf_counter()
     outs = [fwdbwd(params, tt[:group]) for _ in range(REPS)]
-    jax.block_until_ready(outs)
+    # D2H fence on every rep's loss: block_until_ready through the axon
+    # tunnel is not a reliable fence (PERF.md round 4)
+    for o in outs:
+        np.asarray(o[0])
     ms_per_frame = (time.perf_counter() - t0) * 1e3 / (REPS * group)
 
-    # densify cycle at this capacity (the other scale-sensitive op)
-    from gaussian_splatterer_tpu.config import Project
-    from gaussian_splatterer_tpu.models.splats import SplatModel
-    from gaussian_splatterer_tpu.train.densify import DensifyParams, densify
-
-    model = SplatModel(
-        means=params[0], shs=params[1], scales=params[2],
-        opacities=params[3], rotations=params[4],
-        count=jnp.asarray(n_splats, jnp.int32), sh_degree=1,
-    )
-    var = jnp.abs(out[1][0]).sum(-1)
-    avg = out[1][0]
-    dp = DensifyParams.from_project(Project())
-    model2 = densify(model, var, avg, dp)  # compile
-    jax.block_until_ready(model2.means)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        model2 = densify(model, var, avg, dp)
-    jax.block_until_ready(model2.means)
-    densify_ms = (time.perf_counter() - t0) * 1e3 / 3
-
-    return {
+    row = {
         "n_splats": n_splats,
         "capacity": capacity,
         "ms_per_frame": round(ms_per_frame, 2),
@@ -135,8 +116,35 @@ def run_size(n_splats: int, frames: int, verbose: bool = True):
         "max_dup": max_dup,
         "num_work": nw,
         "frame_group": group,
-        "densify_ms": round(densify_ms, 2),
     }
+    print(json.dumps(row), flush=True)
+
+    # densify cycle at this capacity (the other scale-sensitive op);
+    # guarded so a densify failure still leaves the fwd+bwd row printed
+    try:
+        from gaussian_splatterer_tpu.config import Project
+        from gaussian_splatterer_tpu.models.splats import SplatModel
+        from gaussian_splatterer_tpu.train.densify import DensifyParams, densify
+
+        model = SplatModel(
+            means=params[0], shs=params[1], scales=params[2],
+            opacities=params[3], rotations=params[4],
+            count=jnp.asarray(n_splats, jnp.int32), sh_degree=1,
+        )
+        var = jnp.abs(out[1][0]).sum(-1)
+        avg = out[1][0]
+        dp = DensifyParams.from_project(Project())
+        dfn = jax.jit(lambda m, v, a: densify(m, v, a, dp))
+        model2 = dfn(model, var, avg)  # compile
+        np.asarray(model2.means)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            model2 = dfn(model, var, avg)
+        np.asarray(model2.means)
+        row["densify_ms"] = round((time.perf_counter() - t0) * 1e3 / 3, 2)
+    except Exception as e:  # noqa: BLE001
+        row["densify_error"] = f"{type(e).__name__}: {e}"[:160]
+    return row
 
 
 def main():
@@ -146,7 +154,8 @@ def main():
     args = ap.parse_args()
     for s in args.sizes.split(","):
         r = run_size(int(s), args.frames)
-        print(json.dumps(r), flush=True)
+        if "densify_ms" in r or "densify_error" in r:
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

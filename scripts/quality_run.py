@@ -223,7 +223,7 @@ def main():
             hist.append(entry)
             print(json.dumps(entry), flush=True)
 
-    s.auto_train(args.steps, on_step=on_step)
+    schedule_stats = s.auto_train(args.steps, on_step=on_step)
     train_time = time.time() - t0
     steps_per_s = args.steps / train_time
 
@@ -253,6 +253,7 @@ def main():
         "psnr_per_view": [round(p, 2) for p in psnrs],
         "ssim_mean": round(float(np.mean(ssims)), 4),
         "train_time_s": round(train_time, 1),
+        "schedule": schedule_stats,  # capture-vs-train wall split
     }
     with open(os.path.join(args.out, "result.json"), "w") as fh:
         json.dump(result, fh, indent=2)
