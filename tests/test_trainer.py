@@ -153,10 +153,15 @@ def test_auto_train_schedule_captures_and_densifies():
 
     trainer.capture_truths = counting_capture
     rtx = OracleRtx(target_model())
-    auto_train(trainer, rtx, num_steps=12)
+    stats = auto_train(trainer, rtx, num_steps=12)
     # initial capture at iter 0 + re-captures at iterations 5 and 10
     assert captures == [0, 5, 10]
     assert p.iterations == 12
+    # capture-vs-train wall accounting (round-4): 2 re-captures (the
+    # initial one is attributed to capture_s but not recaptures)
+    assert stats["recaptures"] == 2
+    assert 0.0 < stats["capture_s"] < stats["total_s"]
+    assert 0.0 < stats["capture_frac"] < 1.0
 
 
 def test_densify_step_in_training_loop():
