@@ -1,14 +1,24 @@
-"""Measured machine ceilings for the PERF.md roofline (v5e, D2H-fenced).
+"""Measured machine ceilings for the PERF.md roofline (v5e).
 
-- VPU f32 FMA throughput: Horner-chain polynomial (data-dependent, not
-  constant-foldable), K FMAs per element on a large array.
-- VPU transcendental throughput: chained exp.
-- MXU f32 matmul throughput at default and HIGHEST precision.
+Run ONE probe per process (`--which ...`): cross-program timings inside a
+single process are unreliable through the axon tunnel, and
+block_until_ready is not a fence — every timing ends with a D2H copy
+(PERF.md round 4).
 
-Run alone (one TPU process at a time; block_until_ready through the axon
-tunnel is not a fence — every timing closes with np.asarray).
+Probes:
+  horner      serial dependent FMA chain (latency-bound lower bound)
+  horner_ilp  8 independent interleaved chains (throughput estimate)
+  exp         serial dependent exp chain
+  exp_ilp     8 independent exp chains
+  mm_default / mm_highest / mm_bf16   4096^3 matmuls per precision
+  pallas_fma  K FMAs on a VMEM-resident (P, C) block inside a Pallas
+              kernel at the train kernel's block shape — the honest VPU
+              ceiling for the rasterizer roofline (XLA elementwise probes
+              are HBM-bound and undershoot ~4x)
+  pallas_exp  same shape, chained exp
 """
 
+import argparse
 import os
 import time
 
@@ -18,69 +28,106 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N = 2048 * 2048  # elements
-K = 256  # chain length
+N = 2048 * 2048
+K = 256
 
 
-def timeit(label, fn, *args, flops=None, reps=5):
+def bench(fn, *args, work, unit, reps=5, label=""):
     f = jax.jit(fn)
-    out = f(*args)
-    np.asarray(out)  # warm + fence
+    np.asarray(jnp.sum(f(*args)))  # compile + fence
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = f(*args)
-    s = np.asarray(jnp.sum(out))  # single D2H fence of a scalar reduce
-    del s
+        o = f(*args)
+    np.asarray(jnp.sum(o))
     dt = (time.perf_counter() - t0) / reps
-    rate = (flops / dt / 1e12) if flops else 0.0
-    print(f"{label}: {dt*1e3:.2f} ms" + (f"  -> {rate:.2f} TFLOP/s" if flops else ""))
-    return dt
+    print(f"{label}: {dt*1e3:.2f} ms -> {work/dt/1e12:.2f} T{unit}/s")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", required=True)
+    w = ap.parse_args().which
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0.5, 0.6, (N,)).astype(np.float32))
-    c = jnp.float32(0.3)
 
-    def horner(x):
-        y = x
-        for _ in range(K):
-            y = y * x + c  # not foldable: depends on per-element x
-        return y
+    if w in ("pallas_fma", "pallas_exp"):
+        from jax.experimental import pallas as pl
 
-    timeit(f"VPU f32 Horner chain (K={K}, {N/1e6:.0f}M elems)",
-           horner, x, flops=2.0 * K * N)
+        P, C, G, KK = 1024, 256, 256, 64  # train-kernel block shape
 
-    def exp_chain(x):
-        y = x * 0.001
-        for _ in range(32):
-            y = jnp.exp(-y) * 0.5  # stays bounded
-        return y
+        def kern(x_ref, o_ref):
+            y = x_ref[...]
+            x = y
+            if w == "pallas_fma":
+                for _ in range(KK):
+                    y = y * x + 0.3
+            else:
+                for _ in range(16):
+                    y = jnp.exp(-y) * 0.5
+            o_ref[...] = y
 
-    timeit(f"VPU exp chain (32 exps, {N/1e6:.0f}M elems)",
-           exp_chain, x, flops=32.0 * N)  # 'flops' = exp/s here
-
-    m = 4096
-    a = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
-    b = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
-    for prec, label in [
-        (jax.lax.Precision.DEFAULT, "MXU f32 matmul DEFAULT (1-pass bf16)"),
-        (jax.lax.Precision.HIGHEST, "MXU f32 matmul HIGHEST"),
-    ]:
-        timeit(
-            f"{label} ({m}^3)",
-            lambda a, b, p=prec: jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())), precision=p
-            ),
-            a, b, flops=2.0 * m**3,
+        x = jnp.asarray(
+            rng.uniform(0.5, 0.6, (G, P, C)).astype(np.float32)
         )
 
-    bf = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
-    timeit(
-        f"MXU bf16 matmul ({m}^3)",
-        lambda a, b: jax.lax.dot_general(a, b, (((1,), (0,)), ((), ()))),
-        *bf, flops=2.0 * m**3,
-    )
+        def run(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((G, P, C), jnp.float32),
+                grid=(G,),
+                in_specs=[pl.BlockSpec((1, P, C), lambda g: (g, 0, 0))],
+                out_specs=pl.BlockSpec((1, P, C), lambda g: (g, 0, 0)),
+            )(x)
+
+        ops = (2.0 * KK if w == "pallas_fma" else 16.0) * G * P * C
+        bench(run, x, work=ops, unit="FLOP" if w == "pallas_fma" else "exp",
+              label=f"Pallas {w} ({G}x{P}x{C})")
+    elif w in ("horner", "horner_ilp"):
+        lanes = 8 if w == "horner_ilp" else 1
+        x = jnp.asarray(rng.uniform(0.5, 0.6, (lanes, N // lanes)).astype(np.float32))
+        c = jnp.float32(0.3)
+
+        def horner(x):
+            # lanes independent chains: the compiler can interleave them,
+            # hiding the FMA latency the serial variant exposes
+            y = x
+            for _ in range(K):
+                y = y * x + c
+            return y
+
+        bench(horner, x, work=2.0 * K * N, unit="FLOP",
+              label=f"VPU f32 Horner K={K} lanes={lanes}")
+    elif w in ("exp", "exp_ilp"):
+        lanes = 8 if w == "exp_ilp" else 1
+        x = jnp.asarray(rng.uniform(0.5, 0.6, (lanes, N // lanes)).astype(np.float32))
+
+        def ec(x):
+            y = x * 0.001
+            for _ in range(32):
+                y = jnp.exp(-y) * 0.5
+            return y
+
+        bench(ec, x, work=32.0 * N, unit="exp",
+              label=f"VPU exp chain 32x lanes={lanes}")
+    else:
+        m = 4096
+        a = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
+        if w == "mm_bf16":
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+            bench(lambda a, b: a @ b, a, b, work=2.0 * m**3, unit="FLOP",
+                  label="MXU bf16 4096^3")
+        else:
+            prec = {
+                "mm_default": jax.lax.Precision.DEFAULT,
+                "mm_highest": jax.lax.Precision.HIGHEST,
+            }[w]
+            bench(
+                lambda a, b, p=prec: jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())), precision=p
+                ),
+                a, b, work=2.0 * m**3, unit="FLOP",
+                label=f"MXU f32 {w} 4096^3",
+            )
 
 
 if __name__ == "__main__":
