@@ -283,7 +283,14 @@ class Session:
         cam = camera or self.preview_camera()
         w = width or self.project.renderResX
         h = height or self.project.renderResY
-        s = samples or self.project.rtSamples
+        # the live preview panel renders at previewRtSamples, the static
+        # export at rtSamples (reference src/ui/UiPanelViewInput.cpp:46 vs
+        # src/ui/tools/UiPanelToolsView.cpp:235); show_cameras marks the
+        # preview-panel-equivalent call
+        s = samples or (
+            self.project.previewRtSamples if show_cameras
+            else self.project.rtSamples
+        )
         orbs = None
         if show_cameras:
             orbs = [c.location for c in Camera.get_cameras(self.project)]
