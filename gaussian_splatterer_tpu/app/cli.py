@@ -37,6 +37,39 @@ def _make_session(args, require: bool = False):
     if getattr(args, "capacity", None):
         runtime.splats_capacity = args.capacity
         resized = True
+    # generic runtime-knob overrides: --runtime key=value (repeatable),
+    # e.g. --runtime lr_location_decay=0.9988 --runtime sh_degree=3
+    import dataclasses
+
+    field_types = {f.name: f.type for f in dataclasses.fields(RuntimeConfig)}
+    for kv in getattr(args, "runtime", None) or []:
+        key, _, val = kv.partition("=")
+        if key not in field_types or not _:
+            raise SystemExit(
+                f"--runtime {kv!r}: unknown key (valid: "
+                f"{', '.join(sorted(field_types))})"
+            )
+        cur = getattr(runtime, key)
+        if val.lower() == "none":
+            setattr(runtime, key, None)
+        elif isinstance(cur, bool):
+            setattr(runtime, key, val.lower() in ("1", "true", "yes", "on"))
+        elif isinstance(cur, int):
+            setattr(runtime, key, int(val))
+        elif isinstance(cur, float):
+            setattr(runtime, key, float(val))
+        else:
+            # default-None fields (e.g. train_work_cap): numeric if it parses
+            try:
+                setattr(runtime, key, int(val))
+            except ValueError:
+                try:
+                    setattr(runtime, key, float(val))
+                except ValueError:
+                    setattr(runtime, key, val)
+        resized = resized or key in (
+            "render_resolution_x", "render_resolution_y", "splats_capacity"
+        )
     if getattr(args, "max_dup", None):
         runtime.max_dup = args.max_dup
     elif not persisted or resized:
@@ -253,6 +286,9 @@ def main(argv=None) -> int:
     p_new.add_argument("--resolution", type=int)
     p_new.add_argument("--capacity", type=int)
     p_new.add_argument("--max-dup", type=int, dest="max_dup")
+    p_new.add_argument("--runtime", action="append", metavar="KEY=VALUE",
+                      help="set any RuntimeConfig field (repeatable), e.g. "
+                           "--runtime lr_location_decay=0.9988")
     p_new.set_defaults(fn=cmd_new)
 
     p_tr = sub.add_parser("train", help="run auto-training")
@@ -262,6 +298,9 @@ def main(argv=None) -> int:
     p_tr.add_argument("--resolution", type=int)
     p_tr.add_argument("--capacity", type=int)
     p_tr.add_argument("--max-dup", type=int, dest="max_dup")
+    p_tr.add_argument("--runtime", action="append", metavar="KEY=VALUE",
+                      help="set any RuntimeConfig field (repeatable), e.g. "
+                           "--runtime lr_location_decay=0.9988")
     p_tr.add_argument("--log-every", type=int, default=10)
     p_tr.add_argument("--checkpoint-every", type=int, default=0,
                       help="crash-recovery .npz checkpoint every N iters")
@@ -288,6 +327,9 @@ def main(argv=None) -> int:
     p_re.add_argument("--resolution", type=int)
     p_re.add_argument("--capacity", type=int)
     p_re.add_argument("--max-dup", type=int, dest="max_dup")
+    p_re.add_argument("--runtime", action="append", metavar="KEY=VALUE",
+                      help="set any RuntimeConfig field (repeatable), e.g. "
+                           "--runtime lr_location_decay=0.9988")
     p_re.set_defaults(fn=cmd_render)
 
     p_ex = sub.add_parser(
@@ -300,6 +342,9 @@ def main(argv=None) -> int:
     p_ex.add_argument("--capacity", type=int)
     p_ex.add_argument("--resolution", type=int)
     p_ex.add_argument("--max-dup", type=int, dest="max_dup")
+    p_ex.add_argument("--runtime", action="append", metavar="KEY=VALUE",
+                      help="set any RuntimeConfig field (repeatable), e.g. "
+                           "--runtime lr_location_decay=0.9988")
     p_ex.set_defaults(fn=cmd_export)
 
     p_in = sub.add_parser("info", help="print project summary")
