@@ -959,6 +959,113 @@ def _composite_train_flat(
     return res8, d_feat9
 
 
+def _worklists_global(bins, f, num_tiles, max_dup, chunk, work_cap, num_blocks):
+    """Build per-frame window work lists and flatten them to the global
+    (frame-major) id spaces the fused kernel consumes.  Shared by the
+    from-parameters (render_train_grads_batch) and from-projected-rows
+    (render_train_grads_rows) entry points."""
+    from gaussian_splatterer_tpu.ops.binning import make_window_worklist
+
+    i32 = jnp.int32
+    w2 = jax.vmap(
+        lambda ts, te: make_window_worklist(
+            ts, te, num_tiles, max_dup, chunk, work_cap
+        )
+    )(bins.tile_start, bins.tile_end)
+
+    # flatten to global (frame-major) ids
+    f_col = jnp.arange(f, dtype=i32)[:, None]
+    wt_g = w2.work_tile + f_col * num_tiles
+    wtf_g = (
+        (wt_g << (_FL_BITS + _NV_BITS))
+        | (w2.nvalid << _FL_BITS)
+        | _worklist_flags(w2)
+    ).reshape(-1)
+    ws_g = (w2.w_start + f_col * max_dup).reshape(-1)
+    # compacted slab slots: frame-local slots stack, ONE global dump at
+    # the end; per-slot segment ids globalize the same way (shared helper
+    # keeps this bit-identical to make_window_worklist's slot count)
+    emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
+    sp_g = jnp.where(
+        w2.slab_pos == emit_cap,
+        f * emit_cap,
+        w2.slab_pos + f_col * emit_cap,
+    ).reshape(-1)
+
+    def seg_globalize(seg):
+        return jnp.concatenate([
+            jnp.where(
+                seg[:, :emit_cap] == num_blocks,
+                f * num_blocks,
+                seg[:, :emit_cap] + f_col * num_blocks,
+            ).reshape(-1),
+            jnp.full((1,), f * num_blocks, i32),
+        ])
+
+    seg_lo_g = seg_globalize(w2.seg_lo)
+    seg_hi_g = seg_globalize(w2.seg_hi)
+    return w2, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g
+
+
+def _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup):
+    """Scatter-free duplicate-gradient reduction: (9, F*D) per-tile-sorted
+    duplicate gradients -> (F, 9, N) per-splat row gradients.
+
+    d_feat9 is per TILE-SORTED duplicate; carry it back to depth/presort
+    order (where each splat's duplicates are CONTIGUOUS) as PAYLOADS of a
+    batched key sort — measured ~5.5 ms vs ~13 ms for the equivalent
+    inverse-permutation column gather plus ~5 ms for the inverse-perm
+    sort it replaces (scripts/gather_probe.py).  Then cumsum per frame,
+    take per-splat segment differences, and gather back to original row
+    order.  Sorts/gathers/cumsums only — XLA's TPU scatter lowering
+    measured 19 ms/frame and pathological compiles."""
+    d_3d = d_feat9.reshape(9, f, max_dup)  # tile-sorted per frame
+    sorted_ops = jax.lax.sort(
+        (bins.presort_pos,) + tuple(d_3d[k] for k in range(9)),
+        num_keys=1,
+        is_stable=False,  # keys are a permutation of 0..D-1: unique
+    )
+    d_pre9 = jnp.stack(sorted_ops[1:])  # (9, F, D)
+    # PER-FRAME cumsums (axis=2), flattened back to global ids.  A single
+    # global cumsum over the concatenated F*D axis accumulates across
+    # frames, so late frames' segment differences subtract two large
+    # running sums — measured 5.5e-3 absolute noise on the densify
+    # variance signal at 8 frames x 75k duplicates (found by the
+    # realistic-shape DP exactness test: the camera-sharded step, which
+    # necessarily cumsums per frame, was the ACCURATE one).  Per-frame
+    # cumsums cost the same and make single-device == camera-DP to
+    # reassociation noise.
+    cs9 = jnp.cumsum(d_pre9, axis=2).reshape(9, f * max_dup)
+    fD = f * max_dup
+    # a segment starting at its OWN frame's first dup column has zero
+    # prefix (frame-local cumsum).  The frame must come from the slot id,
+    # not from seg_start % max_dup: when a frame's duplicates exactly
+    # fill max_dup, its empty tail slots start at (j+1)*max_dup — a
+    # modulo test would zero their prefix and dump the whole frame sum
+    # onto the last slot's splat.
+    slot_frame = jnp.arange(f * n_cap, dtype=jnp.int32) // n_cap
+    frame_first = bins.seg_start_g == slot_frame * max_dup
+    lo9 = jnp.where(
+        ~frame_first[None, :],
+        cs9[:, jnp.clip(bins.seg_start_g - 1, 0, fD - 1)],
+        0.0,
+    )
+    # Depth-order segments tile the dup axis CONTIGUOUSLY (offs_excl[k+1]
+    # == offs[k]; overflow-gated and empty segments collapse to equal
+    # boundaries, and the cumsum is constant over each frame's tail slack
+    # because out-of-range dup columns contribute exactly zero), so
+    # hi9[k] == lo9[k+1] — a lane shift replaces the second 512k-column
+    # gather (measured 24 ms/step at 16 frames) — EXCEPT each frame's
+    # LAST depth slot, whose hi is its own frame's cumsum total (the
+    # shifted lo9 there is the next frame's zero prefix).
+    hi9 = jnp.concatenate([lo9[:, 1:], jnp.zeros((9, 1), jnp.float32)], axis=1)
+    frame_totals = cs9.reshape(9, f, max_dup)[:, :, max_dup - 1]  # (9, F)
+    hi9 = hi9.at[:, n_cap - 1 :: n_cap].set(frame_totals)
+    seg9 = hi9 - lo9  # (9, F*N) per global depth slot
+    d_rows9 = seg9[:, bins.inv_depth_flat]  # per original row id
+    return jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)
+
+
 def render_train_grads_batch(
     means, shs, scales, opacities, rotations, active,
     views, proj_views, cam_posns, tan_fovxs, tan_fovys,  # (F, ...) stacks
@@ -1006,10 +1113,7 @@ def render_train_grads_batch(
                  reference radix-sorts the exact count and cannot truncate,
                  src/Trainer.cu:334-360; callers should grow max_dup).
     """
-    from gaussian_splatterer_tpu.ops.binning import (
-        bin_splats_batch,
-        make_window_worklist,
-    )
+    from gaussian_splatterer_tpu.ops.binning import bin_splats_batch
 
     if interpret is None:
         interpret = _should_interpret()
@@ -1053,43 +1157,9 @@ def render_train_grads_batch(
     if y_off is not None:
         proj_sg = proj_sg._replace(my=proj_sg.my - jax.lax.stop_gradient(y_off))
     bins = bin_splats_batch(proj_sg, width, bin_height, tile, max_dup, chunk)
-    w2 = jax.vmap(
-        lambda ts, te: make_window_worklist(
-            ts, te, num_tiles, max_dup, chunk, work_cap
-        )
-    )(bins.tile_start, bins.tile_end)
-
-    # flatten to global (frame-major) ids
-    f_col = jnp.arange(f, dtype=i32)[:, None]
-    wt_g = w2.work_tile + f_col * num_tiles
-    wtf_g = (
-        (wt_g << (_FL_BITS + _NV_BITS))
-        | (w2.nvalid << _FL_BITS)
-        | _worklist_flags(w2)
-    ).reshape(-1)
-    ws_g = (w2.w_start + f_col * max_dup).reshape(-1)
-    # compacted slab slots: frame-local slots stack, ONE global dump at
-    # the end; per-slot segment ids globalize the same way (shared helper
-    # keeps this bit-identical to make_window_worklist's slot count)
-    emit_cap = emit_capacity(num_tiles, max_dup, chunk, work_cap)
-    sp_g = jnp.where(
-        w2.slab_pos == emit_cap,
-        f * emit_cap,
-        w2.slab_pos + f_col * emit_cap,
-    ).reshape(-1)
-
-    def seg_globalize(seg):
-        return jnp.concatenate([
-            jnp.where(
-                seg[:, :emit_cap] == num_blocks,
-                f * num_blocks,
-                seg[:, :emit_cap] + f_col * num_blocks,
-            ).reshape(-1),
-            jnp.full((1,), f * num_blocks, i32),
-        ])
-
-    seg_lo_g = seg_globalize(w2.seg_lo)
-    seg_hi_g = seg_globalize(w2.seg_hi)
+    w2, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g = _worklists_global(
+        bins, f, num_tiles, max_dup, chunk, work_cap, num_blocks
+    )
 
     # Differentiable feature build.  means are broadcast to (F, C, 3) so the
     # pullback returns PER-FRAME location gradients — the densify variance
@@ -1130,60 +1200,7 @@ def render_train_grads_batch(
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
         mm_bf16, fast_exp, mm_power,
     )
-    # ---- duplicate-gradient reduction, scatter-free -------------------
-    # d_feat16 is per TILE-SORTED duplicate; carry it back to depth/presort
-    # order (where each splat's duplicates are CONTIGUOUS) as PAYLOADS of a
-    # batched key sort — measured ~5.5 ms vs ~13 ms for the equivalent
-    # inverse-permutation column gather plus ~5 ms for the inverse-perm
-    # sort it replaces (scripts/gather_probe.py).  Then cumsum once
-    # globally, take per-splat segment differences, and gather back to
-    # original row order.  Sorts/gathers/cumsums only — XLA's TPU scatter
-    # lowering measured 19 ms/frame and pathological compiles.
-    d_3d = d_feat9.reshape(9, f, max_dup)  # tile-sorted per frame
-    sorted_ops = jax.lax.sort(
-        (bins.presort_pos,) + tuple(d_3d[k] for k in range(9)),
-        num_keys=1,
-        is_stable=False,  # keys are a permutation of 0..D-1: unique
-    )
-    d_pre9 = jnp.stack(sorted_ops[1:])  # (9, F, D)
-    # PER-FRAME cumsums (axis=2), flattened back to global ids.  A single
-    # global cumsum over the concatenated F*D axis accumulates across
-    # frames, so late frames' segment differences subtract two large
-    # running sums — measured 5.5e-3 absolute noise on the densify
-    # variance signal at 8 frames x 75k duplicates (found by the
-    # realistic-shape DP exactness test: the camera-sharded step, which
-    # necessarily cumsums per frame, was the ACCURATE one).  Per-frame
-    # cumsums cost the same and make single-device == camera-DP to
-    # reassociation noise.
-    cs9 = jnp.cumsum(d_pre9, axis=2).reshape(9, f * max_dup)
-    fD = f * max_dup
-    # a segment starting at its OWN frame's first dup column has zero
-    # prefix (frame-local cumsum).  The frame must come from the slot id,
-    # not from seg_start % max_dup: when a frame's duplicates exactly
-    # fill max_dup, its empty tail slots start at (j+1)*max_dup — a
-    # modulo test would zero their prefix and dump the whole frame sum
-    # onto the last slot's splat.
-    slot_frame = jnp.arange(f * n_cap, dtype=jnp.int32) // n_cap
-    frame_first = bins.seg_start_g == slot_frame * max_dup
-    lo9 = jnp.where(
-        ~frame_first[None, :],
-        cs9[:, jnp.clip(bins.seg_start_g - 1, 0, fD - 1)],
-        0.0,
-    )
-    # Depth-order segments tile the dup axis CONTIGUOUSLY (offs_excl[k+1]
-    # == offs[k]; overflow-gated and empty segments collapse to equal
-    # boundaries, and the cumsum is constant over each frame's tail slack
-    # because out-of-range dup columns contribute exactly zero), so
-    # hi9[k] == lo9[k+1] — a lane shift replaces the second 512k-column
-    # gather (measured 24 ms/step at 16 frames) — EXCEPT each frame's
-    # LAST depth slot, whose hi is its own frame's cumsum total (the
-    # shifted lo9 there is the next frame's zero prefix).
-    hi9 = jnp.concatenate([lo9[:, 1:], jnp.zeros((9, 1), jnp.float32)], axis=1)
-    frame_totals = cs9.reshape(9, f, max_dup)[:, :, max_dup - 1]  # (9, F)
-    hi9 = hi9.at[:, n_cap - 1 :: n_cap].set(frame_totals)
-    seg9 = hi9 - lo9  # (9, F*N) per global depth slot
-    d_rows9 = seg9[:, bins.inv_depth_flat]  # per original row id
-    d_rows = jnp.moveaxis(d_rows9.reshape(9, f, n_cap), 0, 1)  # (F, 9, N)
+    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup)
     d_means_b, d_shs, d_scales, d_opac, d_rot = pull_rows(d_rows)
     g_means = jnp.sum(d_means_b, axis=0)
     # densify "variance" signal = sum of per-frame |location-grad| norms
@@ -1207,6 +1224,103 @@ def render_train_grads_batch(
         loss_sum, (g_means, d_shs, d_scales, d_opac, d_rot), var_loc,
         res8_frames, num_dup, num_work,
     )
+
+
+def render_train_grads_rows(
+    comps,  # SplatComponents, every field (F, M) — PRE-PROJECTED splats
+    width: int,
+    height: int,
+    truth_tiles,  # (F, T, 8, P) channel-major tiles for the local grid
+    backgrounds,  # (F, 3)
+    *,
+    tile: int = 32,
+    chunk: int = 128,
+    max_dup: int = 2**18,
+    work_cap: int | None = None,
+    interpret: bool | None = None,
+    mm_bf16: bool = False,
+    fast_exp: bool = False,
+    mm_power: bool = False,
+):
+    """Composite-stage-only fused training core: bin + rasterize + backward
+    from PRE-PROJECTED screen-space components, returning gradients w.r.t.
+    the nine differentiable feature rows instead of model parameters.
+
+    This is the receiving half of SUB-TRANSIENT distributed binning
+    (parallel/routed3.py): a tile/band shard receives only the projected
+    rows of splats that actually touch its band (routed via
+    parallel/route.bucket_route), composites them, and routes the returned
+    ``d_rows`` back to the splat shards that own the parameters — no
+    device ever materializes the full model (the reference's single-GPU
+    rasterizer never needs this; its analog is the global radix sort in
+    the diff-gaussian-rasterization submodule, src/Trainer.cu:334-360).
+
+    ``comps`` fields are (F, M): M "virtual splats" per local frame —
+    projected rows with GRID-LOCAL ``my`` (callers subtract the band's
+    y-offset before calling; ``width``/``height`` describe the local bin
+    grid, e.g. (W, band_height)).  Invalid slots (bucket padding) must
+    have ``valid=False``.
+
+    Returns (loss_sum, d_rows (F, 9, M), res8 (F, T, 8, P), num_dup,
+    num_work) — loss_sum is the sum over local frames of the mean squared
+    residual over the local grid; d_rows rows are ordered [mx, my, ca,
+    cb, cc, cr, cg, cb2, opacity] (the build_rows order of
+    render_train_grads_batch)."""
+    from gaussian_splatterer_tpu.ops.binning import bin_splats_batch
+
+    if interpret is None:
+        interpret = _should_interpret()
+    chunk = min(chunk, max_dup)
+    if chunk > _NV_MASK:
+        raise ValueError(
+            f"chunk={chunk} exceeds the packed window valid-count field "
+            f"(chunk <= {_NV_MASK})"
+        )
+    tx_tiles = -(-width // tile)
+    ty_tiles = -(-height // tile)
+    num_tiles = tx_tiles * ty_tiles
+    num_blocks = max_dup // chunk
+    f, n_cap = comps.mx.shape
+    if f * num_tiles >= (1 << (31 - _FL_BITS - _NV_BITS)):
+        raise ValueError(
+            f"frame_group x num_tiles = {f * num_tiles} exceeds the packed "
+            f"tile-id field ({1 << (31 - _FL_BITS - _NV_BITS)}); lower the "
+            "frame group or raise the tile size"
+        )
+    p_count = tile * tile
+
+    bins = bin_splats_batch(
+        jax.lax.stop_gradient(comps), width, height, tile, max_dup, chunk
+    )
+    w2, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g = _worklists_global(
+        bins, f, num_tiles, max_dup, chunk, work_cap, num_blocks
+    )
+
+    rows = jnp.stack(
+        [comps.mx, comps.my, comps.ca, comps.cb, comps.cc,
+         comps.cr, comps.cg, comps.cb2, comps.opacity], axis=1,
+    )  # (F, 9, M)
+    rows9 = jnp.moveaxis(rows, 0, 1).reshape(9, f * n_cap)
+    feat9 = rows9[:, bins.gather_flat]  # (9, F*D) flat column gather
+    bg4 = jnp.zeros((f, 4), jnp.float32).at[:, :3].set(
+        jnp.asarray(backgrounds, jnp.float32)
+    )
+    truth_flat = truth_tiles.reshape(f * num_tiles, _C_ROWS, p_count)
+    res8, d_feat9 = _composite_train_flat(
+        feat9, truth_flat, bg4, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g,
+        f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
+        mm_bf16, fast_exp, mm_power,
+    )
+    # the duplicate gather's transpose, scatter-free; no projection vjp
+    # here — the d_rows go back over the wire to the projecting shard
+    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup)
+    res8_frames = res8.reshape(f, num_tiles, _C_ROWS, p_count)
+    loss_sum = jnp.sum(
+        jnp.mean(jnp.square(res8_frames[:, :, 0:3, :]), axis=(1, 2, 3))
+    )
+    num_dup = jnp.max(bins.num_dup)
+    num_work = jnp.max(w2.num_work)
+    return loss_sum, d_rows, res8_frames, num_dup, num_work
 
 
 def render_train_grads(

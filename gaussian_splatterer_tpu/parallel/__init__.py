@@ -17,6 +17,10 @@ from gaussian_splatterer_tpu.parallel.mesh3 import (
     shard_model_3d,
     shard_truths_3d,
 )
+from gaussian_splatterer_tpu.parallel.routed3 import (
+    RouteStats,
+    make_routed3_train_step,
+)
 from gaussian_splatterer_tpu.parallel.tp import (
     TILE_AXIS,
     make_tile_mesh,
@@ -34,6 +38,8 @@ __all__ = [
     "make_fsdp_train_step",
     "make_3d_mesh",
     "make_3d_train_step",
+    "make_routed3_train_step",
+    "RouteStats",
     "make_tile_mesh",
     "make_tp_train_step",
     "shard_model_3d",

@@ -74,6 +74,65 @@ def bucket_local(dst: jax.Array, payload: jax.Array, n_dst: int, cap: int):
     return buckets, valid, jnp.max(counts)
 
 
+def _pack_perm(dst: jax.Array, n_dst: int, cap: int):
+    """The deterministic permutation bucket_local applies: for each record,
+    which (destination, in-bucket rank) slot it landed in.
+
+    Returns (order, run, rank): sorted position p holds original record
+    ``order[p]``, destined to bucket ``run[p]`` at rank ``rank[p]``
+    (rank >= cap or run >= n_dst means the record was dropped)."""
+    l = dst.shape[0]
+    i32 = jnp.int32
+    iota = jnp.arange(l, dtype=i32)
+    in_range = (dst >= 0) & (dst < n_dst)
+    key = jnp.where(in_range, dst, n_dst).astype(i32)
+    skey, order = jax.lax.sort_key_val(key, iota, is_stable=True)
+    below = jnp.sum(
+        skey[None, :] < jnp.arange(n_dst + 1, dtype=i32)[:, None], axis=1
+    )
+    offsets = below[:-1]
+    rank = iota - jnp.where(
+        skey < n_dst, offsets[jnp.clip(skey, 0, n_dst - 1)], 0
+    )
+    return order, skey, rank
+
+
+def unbucket_local(dst: jax.Array, buckets: jax.Array, cap: int) -> jax.Array:
+    """Inverse of bucket_local's packing: per-SLOT values (n_dst, K, cap)
+    -> per-RECORD values (K, L) in the records' original order.
+
+    ``dst`` must be the same destination vector the forward bucket_local
+    saw (the permutation is recomputed, not stored).  Records that were
+    dropped in the forward pass (out-of-range dst, bucket overflow) get
+    zeros — for gradient return routes that is exactly 'no contribution'."""
+    n_dst, k, _ = buckets.shape
+    order, run, rank = _pack_perm(dst, n_dst, cap)
+    ok = (run < n_dst) & (rank < cap)
+    flat = jnp.clip(run, 0, n_dst - 1) * cap + jnp.clip(rank, 0, cap - 1)
+    bk = jnp.moveaxis(buckets, 1, 0).reshape(k, n_dst * cap)
+    g_sorted = jnp.where(ok[None, :], bk[:, flat], 0.0)  # sorted-record order
+    # sorted position p carries record order[p]; un-sort with the inverse
+    # permutation (one argsort + column gather, scatter-free)
+    inv = jnp.argsort(order)
+    return g_sorted[:, inv]
+
+
+def route_back(dst: jax.Array, grads_recv: jax.Array, cap: int,
+               axis_name: str) -> jax.Array:
+    """Return per-record values to their senders: the inverse exchange of
+    bucket_route (the gradient-slab return route, NEXT.md round-4 #5).
+
+    ``grads_recv`` (n_src, K, cap) must be laid out like bucket_route's
+    ``recv`` on the receiver — grads_recv[s] holds values for the records
+    received FROM source s, in slot order.  Each sender gets back (K, L)
+    rows aligned with its original records (zeros for dropped ones)."""
+    back = jax.lax.all_to_all(
+        grads_recv, axis_name, split_axis=0, concat_axis=0
+    )
+    # back[d] = the values destination d computed for OUR records
+    return unbucket_local(dst, back, cap)
+
+
 def bucket_route(dst: jax.Array, payload: jax.Array, cap: int,
                  axis_name: str):
     """Route local records to the shards named by ``dst`` along

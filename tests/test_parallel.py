@@ -297,3 +297,89 @@ def test_3d_mesh_matches_single_device():
     )
     for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_routed3_matches_single_device():
+    """SUB-TRANSIENT ('camera','tile','splat') step (parallel/routed3.py):
+    projected rows ROUTED to their band/frame owners, gradients routed
+    back — no device ever materializes the full model — must equal the
+    single-device fused step to reassociation noise, including the
+    densify-variance signal (exact per-frame norms by construction)."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        shard_model_3d,
+        shard_truths_3d,
+    )
+    from gaussian_splatterer_tpu.parallel.routed3 import (
+        make_routed3_train_step,
+    )
+
+    res, tile = 128, 16
+    model, cams, truth_tiles = build_scene_fused(res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    single = make_train_step(
+        res, res, 1, renderer="tiled", fused=True,
+        fused_opts=dict(tile=tile, max_dup=2**12,
+                        mm_bf16=runtime.train_mm_bf16),
+    )
+    m1, met1 = single(model, truth_tiles, cams, lrs)
+
+    mesh = make_3d_mesh(2, 2, 2, devices=jax.devices()[:8])
+    step = make_routed3_train_step(
+        mesh, res, res, 1, runtime=runtime,
+        route_cap1=256, route_cap2=256, virt_cap=256,
+    )
+    m2, met2, stats = step(
+        shard_model_3d(mesh, model), shard_truths_3d(mesh, truth_tiles),
+        cams, lrs,
+    )
+    # no overflow at this scale: the telemetry must agree
+    assert int(stats.route1_max) <= 256
+    assert int(stats.route2_max) <= 256
+    assert int(stats.frame_max) <= 256
+
+    np.testing.assert_allclose(
+        np.asarray(met1.loss), np.asarray(met2.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(met1.var_loc), np.asarray(met2.var_loc), atol=5e-5
+    )
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_routed3_overflow_reported():
+    """Undersized route buckets must be REPORTED via RouteStats, never
+    silently corrupt (the max_dup/work_cap contract)."""
+    from gaussian_splatterer_tpu.config import RuntimeConfig
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        shard_model_3d,
+        shard_truths_3d,
+    )
+    from gaussian_splatterer_tpu.parallel.routed3 import (
+        make_routed3_train_step,
+    )
+
+    res, tile = 128, 16
+    model, cams, truth_tiles = build_scene_fused(res=res, tile=tile)
+    lrs = LearningRates.from_project(Project())
+    runtime = RuntimeConfig()
+    runtime.tile_px = tile
+    runtime.max_dup = 2**12
+
+    mesh = make_3d_mesh(2, 2, 2, devices=jax.devices()[:8])
+    step = make_routed3_train_step(
+        mesh, res, res, 1, runtime=runtime,
+        route_cap1=2, route_cap2=256, virt_cap=256,
+    )
+    _, _, stats = step(
+        shard_model_3d(mesh, model), shard_truths_3d(mesh, truth_tiles),
+        cams, lrs,
+    )
+    assert int(stats.route1_max) > 2, "overflow must be visible in stats"

@@ -7,7 +7,12 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gaussian_splatterer_tpu.parallel.route import bucket_local, bucket_route
+from gaussian_splatterer_tpu.parallel.route import (
+    bucket_local,
+    bucket_route,
+    route_back,
+    unbucket_local,
+)
 
 S = 8  # shards
 L = 96  # local records per shard
@@ -115,3 +120,63 @@ def test_bucket_local_drops_out_of_range():
     vals = sorted(float(buckets[d, 0, i]) for d in range(3) for i in range(4)
                   if bool(valid[d, i]))
     assert vals == [0.0, 1.0, 4.0, 5.0]  # -1 and 5 dropped
+
+
+@pytest.mark.parametrize("cap", [4, 2])
+def test_unbucket_inverts_bucket_local(cap):
+    """unbucket_local(bucket_local(x)) == x for kept records, 0 for
+    dropped (out-of-range destination or bucket overflow)."""
+    rng = np.random.default_rng(7)
+    n_dst, l, k = 5, 37, 3
+    dst = jnp.asarray(rng.integers(-1, n_dst + 1, l), jnp.int32)
+    payload = jnp.asarray(rng.normal(size=(k, l)).astype(np.float32))
+    buckets, valid, mc = bucket_local(dst, payload, n_dst, cap)
+    from gaussian_splatterer_tpu.parallel.route import unbucket_local
+
+    back = unbucket_local(dst, buckets, cap)
+    # recompute which records were kept: in-range dst, rank within cap
+    dstn = np.asarray(dst)
+    kept = np.zeros(l, bool)
+    counts = {d: 0 for d in range(n_dst)}
+    for j in range(l):
+        d = int(dstn[j])
+        if 0 <= d < n_dst:
+            if counts[d] < cap:
+                kept[j] = True
+            counts[d] += 1
+    want = np.where(kept[None, :], np.asarray(payload), 0.0)
+    np.testing.assert_array_equal(np.asarray(back), want)
+
+
+def test_route_back_returns_to_sender(mesh):
+    """The gradient return route: receiver transforms every received
+    record; the sender gets the transformed value back at the record's
+    original position (zeros where the record was dropped)."""
+    dst, payload = make_records(3)
+    cap = L  # no overflow
+    shard_map = jax.shard_map
+
+    @jax.jit
+    def go(dst, payload):
+        def body(d, p):
+            d, p = d[0], p[0]
+            recv, valid, _ = bucket_route(d, p, cap, "shard")
+            # receiver-side "gradient": 2x the payload, masked by valid
+            grads = jnp.where(valid[:, None, :], recv * 2.0, 0.0)
+            back = route_back(d, grads, cap, "shard")
+            return back[None]
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard"),
+        )
+        return f(dst, payload)
+
+    back = np.asarray(go(
+        jax.device_put(dst, NamedSharding(mesh, P("shard"))),
+        jax.device_put(payload, NamedSharding(mesh, P("shard", None))),
+    )).reshape(S, K, L)
+    kept = (dst >= 0) & (dst < S)
+    want = np.where(kept[:, None, :], payload * 2.0, 0.0)
+    np.testing.assert_allclose(back, want, rtol=1e-6)
