@@ -224,6 +224,17 @@ class RuntimeConfig:
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes
     # several dB on long runs by letting positions settle.
     lr_location_decay: float = 1.0
+    # Resolution-invariant LR recipes (framework knob, 0 = off/reference
+    # parity).  Gradients here are PIXEL SUMS of J^T r (the reference
+    # convention, src/Trainer.cu:33-44), so a splat covering 16x more
+    # pixels at 1024^2 gets ~16x the gradient it gets at 256^2 — an LR
+    # recipe tuned at one resolution overshoots ~(R/R0)^2 at another
+    # (measured: the 256^2 lr x8 recipe collapses opacities within 150
+    # iterations at 1024^2, PERF.md round 4).  Setting
+    # lr_resolution_ref = R0 multiplies all five LRs by R0^2 / (W*H) and
+    # the densify variance trigger by (W*H) / R0^2, making recipes tuned
+    # at R0 behave identically at any training resolution.
+    lr_resolution_ref: int = 0
 
     def save(self, path: str) -> None:
         with open(path, "w") as fh:

@@ -544,6 +544,27 @@ class Trainer:
             raise RuntimeError("Can't run training iteration, no truth data available!")
         self.project.iterations += 1
         lrs = LearningRates.from_project(self.project)
+        lr_ref = getattr(self.runtime, "lr_resolution_ref", 0)
+        px_scale = 1.0
+        if lr_ref:
+            # gradients are pixel sums (src/Trainer.cu:33-44): scale the
+            # LRs by ref_pixels / actual_pixels so a recipe tuned at
+            # lr_resolution_ref^2 behaves identically at this resolution
+            # (config.py lr_resolution_ref).  HOST-side math from the
+            # Project floats only — float(lrs.location) would sync a
+            # device scalar mid-pipeline (see the decay note below).
+            px_scale = (lr_ref * lr_ref) / float(
+                self.runtime.render_resolution_x
+                * self.runtime.render_resolution_y
+            )
+            p = self.project
+            lrs = lrs._replace(
+                location=jnp.float32(p.lrLocation * px_scale),
+                sh=jnp.float32(p.lrSh * px_scale),
+                scale=jnp.float32(p.lrScale * px_scale),
+                opacity=jnp.float32(p.lrOpacity * px_scale),
+                rotation=jnp.float32(p.lrRotation * px_scale),
+            )
         decay = getattr(self.runtime, "lr_location_decay", 1.0)
         if decay != 1.0:
             # 3DGS-style exponential location-LR schedule (framework knob;
@@ -554,7 +575,8 @@ class Trainer:
             # worker (reproducibly, 1024^2 north-star runs).
             lrs = lrs._replace(
                 location=jnp.float32(
-                    self.project.lrLocation * decay ** self.project.iterations
+                    self.project.lrLocation * px_scale
+                    * decay ** self.project.iterations
                 )
             )
         with jax.profiler.TraceAnnotation("gsplat.train_step"):
@@ -563,6 +585,15 @@ class Trainer:
             )
         if densify_now:
             dp = DensifyParams.from_project(self.project)
+            if px_scale != 1.0:
+                # the densify "variance" signal is a pixel-sum gradient
+                # magnitude too — scale the trigger inversely so its
+                # selectivity matches the lr_resolution_ref recipe
+                dp = dp._replace(
+                    densify_variance=jnp.float32(
+                        self.project.paramDensifyVariance / px_scale
+                    )
+                )
             vdecay = getattr(self.runtime, "densify_variance_decay", 1.0)
             if vdecay != 1.0:
                 # anneal the split/clone trigger over training (framework
@@ -572,7 +603,7 @@ class Trainer:
                 # only, like the LR decay above.
                 dp = dp._replace(
                     densify_variance=jnp.float32(
-                        self.project.paramDensifyVariance
+                        self.project.paramDensifyVariance / px_scale
                         * vdecay ** self.project.iterations
                     )
                 )

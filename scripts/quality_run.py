@@ -144,6 +144,11 @@ def main():
     ap.add_argument("--lr-location-decay", type=float, default=1.0,
                     help="exponential location-LR decay per iteration "
                          "(3DGS-style; 1.0 = reference-parity flat)")
+    ap.add_argument("--lr-res-ref", type=int, default=0,
+                    help="resolution the LR/densify recipe was tuned at: "
+                         "scales LRs by (ref/res)^2 and the densify "
+                         "trigger by (res/ref)^2 (gradients are pixel "
+                         "sums; 0 = off)")
     ap.add_argument("--spot-alpha", type=float, default=1.0,
                     help="alpha of the mushroom cap spots (<1 exercises "
                          "stochastic transparency end-to-end)")
@@ -186,6 +191,7 @@ def main():
         splats_capacity=args.capacity, max_dup=args.max_dup,
         sh_degree=args.sh_degree, sh_coeffs=(args.sh_degree + 1) ** 2,
         lr_location_decay=args.lr_location_decay,
+        lr_resolution_ref=args.lr_res_ref,
         densify_variance_decay=args.densify_variance_decay,
         mip_antialias=args.mip_aa,
         train_fast_exp=args.fast_exp,

@@ -99,6 +99,35 @@ def test_perfect_model_has_near_zero_loss_and_small_grads():
     assert float(jnp.abs(m.avg_grad_loc).max()) < 1e-4
 
 
+def test_lr_resolution_ref_scales_rates():
+    """lr_resolution_ref=R0 at resolution R must equal training with all
+    five LRs pre-multiplied by (R0/R)^2 and the knob off (gradients are
+    pixel sums, so this makes recipes resolution-invariant — config.py)."""
+    # knob ON: ref 2*RES at RES -> px_scale = 4
+    p1 = small_project()
+    rt1 = RuntimeConfig(render_resolution_x=RES, render_resolution_y=RES,
+                        lr_resolution_ref=2 * RES)
+    t1 = Trainer(p1, rt1, student_model(), row_chunk=16)
+    t1.capture_truths(OracleRtx(target_model()))
+    t1.train()
+
+    # knob OFF, LRs pre-scaled by the same factor
+    p2 = small_project()
+    for f in ("lrLocation", "lrSh", "lrScale", "lrOpacity", "lrRotation"):
+        setattr(p2, f, getattr(p2, f) * 4.0)
+    t2 = Trainer(p2, runtime(), student_model(), row_chunk=16)
+    t2.capture_truths(OracleRtx(target_model()))
+    t2.train()
+
+    for a, b in zip(
+        (t1.model.means, t1.model.shs, t1.model.scales,
+         t1.model.opacities, t1.model.rotations),
+        (t2.model.means, t2.model.shs, t2.model.scales,
+         t2.model.opacities, t2.model.rotations),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_sgd_clamps_scale_and_opacity():
     p = small_project()
     p.lrScale = 1e6  # force the clamp
