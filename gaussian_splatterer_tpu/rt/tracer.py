@@ -693,10 +693,39 @@ def render_rtx_sums(
         n_phases = max(1, -(-(bounces - 1) // rnd)) if bounces > 1 else 1
 
         def run_phase(st, kp, start, stop):
-            """lax.map of per-chunk bounce while-loops over [start, stop)."""
+            """Early-exit chunk march over [start, stop) bounces.
 
-            def chunk_fn(args):
-                blk, c = args  # (14, bounce_chunk), ()
+            Survivors are COMPACTED to the front of ``st`` (compact()
+            before every phase), so chunks are alive-prefix ordered: the
+            first all-dead chunk proves every later chunk is dead too.
+            A while_loop over the chunk INDEX therefore visits only the
+            ~ceil(alive / bounce_chunk) live chunks, where the previous
+            lax.map paid a fixed ~0.08 ms pack/unpack/sequencing step for
+            ALL n_pad/bounce_chunk chunks — measured 21 ms/sample of pure
+            dead-chunk overhead at 1024^2 with ~2% coverage (256 chunks,
+            ~5 live; device trace, round 4).  The in-place
+            dynamic_update_slice donates the (14, n_pad) carry, and the
+            per-chunk math is bit-identical to the map version (same
+            fold_in(kp, c) RNG stream)."""
+
+            # compacted => alive rays are a PREFIX: the number of live
+            # chunks is one reduction, computed once per phase, so the
+            # march cond is a scalar compare (not a per-chunk slice+any)
+            n_live = jnp.minimum(
+                (jnp.sum((st[9] > 0.5).astype(jnp.int32)) + bounce_chunk - 1)
+                // bounce_chunk,
+                nbc,
+            )
+
+            def cond(sc):
+                c, s, _ = sc
+                return c < n_live
+
+            def march(sc):
+                c, s, kk = sc
+                blk = jax.lax.dynamic_slice(
+                    s, (0, c * bounce_chunk), (14, bounce_chunk)
+                )
                 state = (
                     blk[0], blk[1], blk[2], blk[3], blk[4], blk[5],
                     jnp.transpose(blk[6:9]),
@@ -705,24 +734,24 @@ def render_rtx_sums(
                     blk[10] > 0.5,
                 )
 
-                def cond(si):
+                def bcond(si):
                     i, state, _ = si
                     return (i < stop) & jnp.any(state[8])
 
-                def body(si):
-                    i, state, kk = si
-                    kk, k2 = jax.random.split(kk)
+                def bbody(si):
+                    i, state, k3 = si
+                    k3, k2 = jax.random.split(k3)
                     state, _ = _bounce_step(
                         tris, texture, background, env, tri_chunk, *state, k2
                     )
-                    return i + 1, state, kk
+                    return i + 1, state, k3
 
                 _, state, _ = jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(0) + start, state, jax.random.fold_in(kp, c)),
+                    bcond, bbody,
+                    (jnp.int32(0) + start, state, jax.random.fold_in(kk, c)),
                 )
                 (ox, oy, oz, dx, dy, dz, atten, result, alive, refl) = state
-                return jnp.concatenate([
+                out = jnp.concatenate([
                     jnp.stack([ox, oy, oz, dx, dy, dz]),
                     jnp.transpose(atten),
                     jnp.stack([
@@ -730,15 +759,11 @@ def render_rtx_sums(
                     ]),
                     jnp.transpose(result),
                 ])  # (14, bounce_chunk)
+                s = jax.lax.dynamic_update_slice(s, out, (0, c * bounce_chunk))
+                return c + 1, s, kk
 
-            blocks = jax.lax.map(
-                chunk_fn,
-                (
-                    jnp.moveaxis(st.reshape(14, nbc, bounce_chunk), 1, 0),
-                    jnp.arange(nbc, dtype=jnp.int32),
-                ),
-            )  # (NBC, 14, R)
-            return jnp.moveaxis(blocks, 0, 1).reshape(14, n_pad)
+            _, st, _ = jax.lax.while_loop(cond, march, (jnp.int32(0), st, kp))
+            return st
 
         # phases 0..n-2 run in a while_loop (map + compact each); the
         # FINAL phase runs outside it with no trailing compact, so
