@@ -49,10 +49,11 @@ def main():
     w = ap.parse_args().which
     rng = np.random.default_rng(0)
 
-    if w in ("pallas_fma", "pallas_exp"):
+    if w in ("pallas_fma", "pallas_exp", "pallas_fma_ilp", "pallas_exp_ilp"):
         from jax.experimental import pallas as pl
 
         P, C, G, KK = 1024, 256, 256, 64  # train-kernel block shape
+        ILP = 8  # independent chains: throughput, not FMA-latency
 
         def kern(x_ref, o_ref):
             y = x_ref[...]
@@ -60,6 +61,21 @@ def main():
             if w == "pallas_fma":
                 for _ in range(KK):
                     y = y * x + 0.3
+            elif w == "pallas_fma_ilp":
+                # ILP independent accumulator chains interleaved: measures
+                # issue THROUGHPUT (the dependent chain above is pure
+                # latency and undershoots the kernel's own achieved rate)
+                acc = [y * (0.9 + 0.01 * i) for i in range(ILP)]
+                for _ in range(KK // ILP):
+                    acc = [a * x + 0.3 for a in acc]
+                y = acc[0]
+                for a in acc[1:]:
+                    y = y + a
+            elif w == "pallas_exp_ilp":
+                acc = [y * (0.9 + 0.01 * i) for i in range(4)]
+                for _ in range(4):
+                    acc = [jnp.exp(-a) * 0.5 for a in acc]
+                y = acc[0] + acc[1] + acc[2] + acc[3]
             else:
                 for _ in range(16):
                     y = jnp.exp(-y) * 0.5
@@ -78,9 +94,14 @@ def main():
                 out_specs=pl.BlockSpec((1, P, C), lambda g: (g, 0, 0)),
             )(x)
 
-        ops = (2.0 * KK if w == "pallas_fma" else 16.0) * G * P * C
-        bench(run, x, work=ops, unit="FLOP" if w == "pallas_fma" else "exp",
-              label=f"Pallas {w} ({G}x{P}x{C})")
+        ops = {
+            "pallas_fma": 2.0 * KK,
+            "pallas_fma_ilp": 2.0 * (KK // ILP) * ILP,
+            "pallas_exp": 16.0,
+            "pallas_exp_ilp": 16.0,
+        }[w] * G * P * C
+        unit = "FLOP" if "fma" in w else "exp"
+        bench(run, x, work=ops, unit=unit, label=f"Pallas {w} ({G}x{P}x{C})")
     elif w in ("horner", "horner_ilp"):
         lanes = 8 if w == "horner_ilp" else 1
         x = jnp.asarray(rng.uniform(0.5, 0.6, (lanes, N // lanes)).astype(np.float32))
