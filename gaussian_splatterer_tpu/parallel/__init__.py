@@ -17,6 +17,7 @@ from gaussian_splatterer_tpu.parallel.mesh3 import (
     shard_model_3d,
     shard_truths_3d,
 )
+from gaussian_splatterer_tpu.parallel.capture import capture_images_sharded
 from gaussian_splatterer_tpu.parallel.routed3 import (
     RouteStats,
     make_routed3_train_step,
@@ -30,6 +31,7 @@ from gaussian_splatterer_tpu.parallel.tp import (
 
 __all__ = [
     "CAMERA_AXIS",
+    "capture_images_sharded",
     "SPLAT_AXIS",
     "TILE_AXIS",
     "make_camera_mesh",

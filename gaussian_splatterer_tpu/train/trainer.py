@@ -325,6 +325,7 @@ class Trainer:
         self.truths: Optional[jax.Array] = None  # (2F, H, W, 3) or tiled
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
+        self._capture_seed = 0  # sharded-capture PRNG stream counter
         self._build_step()
 
     def _build_step(self) -> None:
@@ -509,26 +510,47 @@ class Trainer:
         return True
 
     # ------------------------------------------------------------------
-    def capture_truths(self, rtx) -> None:
+    def capture_truths(self, rtx, devices=None) -> None:
         """Photograph the scene from every rig camera against white AND
         black backgrounds (src/Trainer.cu:218-250).
 
         ``rtx.render(camera, background, samples[, width, height])`` — the
         resolution args are passed when the renderer accepts them (the JAX
-        path tracer does; simple test surrogates may bake their own)."""
+        path tracer does; simple test surrogates may bake their own).
+
+        ``devices``: >1 devices shard the capture frames over a camera
+        mesh (parallel/capture.py) — the TPU-native fix for recapture
+        cost at the reference's intervalCapture=50 cadence (captures are
+        embarrassingly parallel; on one chip they serialize with
+        training no matter how they are dispatched)."""
         w = self.runtime.render_resolution_x
         h = self.runtime.render_resolution_y
         cameras = Camera.get_cameras(self.project)
 
-        def shoot(c, bg):
-            try:
-                return rtx.render(c, bg, self.project.rtSamples, w, h)
-            except TypeError:
-                return rtx.render(c, bg, self.project.rtSamples)
+        if devices is not None and len(devices) > 1 and getattr(
+            rtx, "_tris", None
+        ) is not None:
+            from gaussian_splatterer_tpu.parallel.capture import (
+                capture_images_sharded,
+            )
 
-        whites = [shoot(c, (1.0, 1.0, 1.0)) for c in cameras]
-        blacks = [shoot(c, (0.0, 0.0, 0.0)) for c in cameras]
-        truths = jnp.stack([jnp.asarray(i, jnp.float32) for i in whites + blacks])
+            self._capture_seed += 1
+            truths = capture_images_sharded(
+                rtx, cameras, self.project.rtSamples, w, h,
+                devices=devices, seed=self._capture_seed,
+            )
+        else:
+            def shoot(c, bg):
+                try:
+                    return rtx.render(c, bg, self.project.rtSamples, w, h)
+                except TypeError:
+                    return rtx.render(c, bg, self.project.rtSamples)
+
+            whites = [shoot(c, (1.0, 1.0, 1.0)) for c in cameras]
+            blacks = [shoot(c, (0.0, 0.0, 0.0)) for c in cameras]
+            truths = jnp.stack(
+                [jnp.asarray(i, jnp.float32) for i in whites + blacks]
+            )
         if self._tile_space:
             from gaussian_splatterer_tpu.ops.raster_tiled import image_to_tiles_cm
 

@@ -353,6 +353,61 @@ def test_routed3_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sharded_capture_matches_direct_render():
+    """Camera-DP truth capture (parallel/capture.py): frames sharded over
+    the virtual mesh must be BIT-IDENTICAL to direct per-frame tracer
+    calls with the same keys (placement-independent PRNG), in the
+    capture_truths frame order (whites then blacks)."""
+    from gaussian_splatterer_tpu.io.obj import TriangleMesh
+    from gaussian_splatterer_tpu.models.camera import Camera as Cam
+    from gaussian_splatterer_tpu.parallel.capture import (
+        capture_images_sharded,
+    )
+    from gaussian_splatterer_tpu.rt.tracer import (
+        RtxHost,
+        finish_rtx,
+        render_rtx_sums,
+    )
+
+    res, samples = 32, 2
+    verts = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array(
+        [[[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]]], np.float32
+    )
+    rtx = RtxHost(tri_chunk=8, ray_chunk=256, bounce_chunk=256)
+    rtx.load_model(TriangleMesh(verts, tris, uv))
+    cameras = [
+        Cam(np.array([0, 0, -4.0], np.float32), np.zeros(3, np.float32), 60.0),
+        Cam(np.array([1, 0.5, -4.0], np.float32), np.zeros(3, np.float32), 60.0),
+    ]
+    imgs = capture_images_sharded(
+        rtx, cameras, samples, res, res, devices=jax.devices()[:8], seed=7
+    )
+    assert imgs.shape == (4, res, res, 3)
+
+    for i, (cam, bg) in enumerate(
+        [(c, (1.0, 1.0, 1.0)) for c in cameras]
+        + [(c, (0.0, 0.0, 0.0)) for c in cameras]
+    ):
+        inv_pv = jnp.asarray(
+            np.linalg.inv(
+                cam.get_proj_view(1.0).astype(np.float64)
+            ).astype(np.float32)
+        )
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        cs, _ = render_rtx_sums(
+            rtx._tris, rtx._texture, jnp.asarray(cam.location, jnp.float32),
+            inv_pv, width=res, height=res, samples=samples,
+            background=jnp.asarray(bg, jnp.float32), key=key,
+            ray_chunk=256, tri_chunk=8, bounce_chunk=256,
+        )
+        want = finish_rtx(cs, jnp.zeros((res * res,), bool), samples, res, res)
+        np.testing.assert_array_equal(np.asarray(imgs[i]), np.asarray(want))
+
+
 def test_routed3_overflow_reported():
     """Undersized route buckets must be REPORTED via RouteStats, never
     silently corrupt (the max_dup/work_cap contract)."""

@@ -160,3 +160,38 @@ def test_3d_mesh_realistic_shape(scene, single_ref):
         cams, lrs,
     )
     _check(m1, met1, m2, met2)
+
+
+def test_routed3_realistic_shape(scene, single_ref):
+    """SUB-TRANSIENT routed step at 50k splats / ~75k duplicates ==
+    single device, with realistic ragged routing: ~25k visible splats per
+    frame crossing 2 bands (band-imbalanced — central bands receive
+    several times the edge bands' records), 25k-per-shard projection,
+    and the full two-hop gradient return.  No device materializes the
+    full model; RouteStats must certify zero dropped records."""
+    from gaussian_splatterer_tpu.parallel.mesh3 import (
+        make_3d_mesh,
+        shard_model_3d,
+        shard_truths_3d,
+    )
+    from gaussian_splatterer_tpu.parallel.routed3 import (
+        make_routed3_train_step,
+    )
+
+    model, cams, truth_tiles = scene
+    m1, met1 = single_ref
+    lrs = LearningRates.from_project(Project())
+    mesh = make_3d_mesh(2, 2, 2, devices=jax.devices()[:8])
+    cap1, cap2, vcap = 40_960, 40_960, 49_152
+    step = make_routed3_train_step(
+        mesh, RES, RES, 1, runtime=_runtime(),
+        route_cap1=cap1, route_cap2=cap2, virt_cap=vcap,
+    )
+    m2, met2, stats = step(
+        shard_model_3d(mesh, model), shard_truths_3d(mesh, truth_tiles),
+        cams, lrs,
+    )
+    assert int(stats.route1_max) <= cap1, "route hop 1 dropped records"
+    assert int(stats.route2_max) <= cap2, "route hop 2 dropped records"
+    assert int(stats.frame_max) <= vcap, "frame re-bucket dropped records"
+    _check(m1, met1, m2, met2)
