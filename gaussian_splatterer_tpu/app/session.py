@@ -100,7 +100,12 @@ class Session:
 
     # -- training -------------------------------------------------------
     def capture(self) -> None:
-        self.trainer.capture_truths(self.rtx)
+        devices = None
+        if getattr(self.runtime, "capture_data_parallel", False):
+            import jax
+
+            devices = jax.devices()
+        self.trainer.capture_truths(self.rtx, devices=devices)
 
     def train(self, steps: int = 1, densify: bool = False):
         for _ in range(steps):
@@ -166,9 +171,15 @@ class Session:
             if on_step is not None:
                 on_step(it, metrics)
 
+        capture_devices = None
+        if getattr(self.runtime, "capture_data_parallel", False):
+            import jax
+
+            capture_devices = jax.devices()
         return auto_train(
             self.trainer, self.rtx, steps, rng=self.rng,
             on_step=log_step, rate_limit=rate_limit,
+            capture_devices=capture_devices,
         )
 
     def resume_from_checkpoint(self, checkpoint_dir: str) -> None:

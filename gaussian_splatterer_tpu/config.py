@@ -224,6 +224,10 @@ class RuntimeConfig:
     # reference uses flat LRs, src/Trainer.cu:81-101); ~0.9995 closes
     # several dB on long runs by letting positions settle.
     lr_location_decay: float = 1.0
+    # Shard truth captures over all local devices (parallel/capture.py):
+    # each chip path-traces its share of the 2C truth frames.  Off by
+    # default — on one chip it is a no-op, and multi-chip users opt in.
+    capture_data_parallel: bool = False
     # Resolution-invariant LR recipes (framework knob, 0 = off/reference
     # parity).  Gradients here are PIXEL SUMS of J^T r (the reference
     # convention, src/Trainer.cu:33-44), so a splat covering 16x more

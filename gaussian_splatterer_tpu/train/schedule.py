@@ -24,11 +24,14 @@ def auto_train(
     on_step: Optional[Callable[[int, object], None]] = None,
     rate_limit: Optional[float] = None,
     capture_first: bool = True,
+    capture_devices=None,
 ) -> None:
     """Run ``num_steps`` auto-training iterations.
 
     rate_limit: max steps/s (None = unthrottled; the reference caps at
     AUTO_TRAIN_BUDGET=100/s purely to keep the UI responsive).
+    capture_devices: >1 devices shard every (re)capture over a camera
+    mesh (parallel/capture.py).
     """
     import numpy as np
 
@@ -38,7 +41,7 @@ def auto_train(
         (block_until_ready through the axon tunnel is not a fence —
         PERF.md round 4).  The fence costs one tiny D2H per recapture."""
         t0 = time.perf_counter()
-        trainer.capture_truths(rtx)
+        trainer.capture_truths(rtx, devices=capture_devices)
         np.asarray(trainer.truths[(0,) * trainer.truths.ndim])
         return time.perf_counter() - t0
 

@@ -43,6 +43,30 @@ def session(tmp_path):
     return s
 
 
+def test_capture_data_parallel_knob(tmp_path):
+    """RuntimeConfig.capture_data_parallel shards Session captures over
+    the virtual devices; training proceeds normally on the result."""
+    p = tmp_path / "cross.obj"
+    p.write_text(OBJ)
+    proj = Project.app_default()
+    proj.sphere1.count = 3
+    proj.rtSamples = 4
+    proj.intervalCapture = 0
+    proj.intervalDensify = 0
+    runtime = RuntimeConfig(
+        render_resolution_x=32, render_resolution_y=32,
+        splats_capacity=512, max_dup=2**11, tile_px=16,
+        capture_data_parallel=True,
+    )
+    s = Session(project=proj, runtime=runtime, renderer="tiled")
+    s.load_model_obj(str(p))
+    s.init_field("model")
+    s.capture()
+    assert s.trainer.truths is not None
+    m = s.train(1)
+    assert np.isfinite(float(m.loss))
+
+
 def test_training_reduces_loss(session):
     session.init_field("model")
     session.capture()
