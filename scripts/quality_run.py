@@ -165,6 +165,11 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
+    ap.add_argument("--eval-samples", type=int, default=0,
+                    help="RT samples for the held-out PSNR truths "
+                         "(0 = same as --samples).  Training truths are "
+                         "MC-noisy; a cleaner eval ground truth stops "
+                         "the metric from being capped by truth noise")
     ap.add_argument("--work-cap", type=int, default=None,
                     help="pre-size the fused work-list budget (skips the "
                     "first-step calibration recompile); buffers are then "
@@ -241,8 +246,13 @@ def main():
     psnrs = []
     ssims = []
     os.makedirs(args.out, exist_ok=True)
+    # keep the trained model: re-evaluable without retraining
+    from gaussian_splatterer_tpu.io.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(args.out, "final.npz"), s.model, s.project)
+    eval_samples = args.eval_samples or args.samples
     for i, cam in enumerate(cams):
-        truth = s.rtx.render(cam, (0, 0, 0), args.samples, args.res, args.res)
+        truth = s.rtx.render(cam, (0, 0, 0), eval_samples, args.res, args.res)
         pred = s.trainer.render(cam, args.res, args.res)
         psnrs.append(float(psnr(truth, jnp.clip(pred, 0, 1))))
         ssims.append(float(ssim(truth, jnp.clip(pred, 0, 1))))
