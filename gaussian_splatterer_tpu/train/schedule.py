@@ -41,7 +41,11 @@ def auto_train(
         (block_until_ready through the axon tunnel is not a fence —
         PERF.md round 4).  The fence costs one tiny D2H per recapture."""
         t0 = time.perf_counter()
-        trainer.capture_truths(rtx, devices=capture_devices)
+        if capture_devices is not None:
+            trainer.capture_truths(rtx, devices=capture_devices)
+        else:
+            # no kwarg: tests monkeypatch capture_truths with stubs
+            trainer.capture_truths(rtx)
         np.asarray(trainer.truths[(0,) * trainer.truths.ndim])
         return time.perf_counter() - t0
 
