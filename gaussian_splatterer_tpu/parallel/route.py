@@ -61,7 +61,6 @@ def bucket_local(dst: jax.Array, payload: jax.Array, n_dst: int, cap: int):
     offsets = below[:-1]  # (n_dst,) exclusive start of each dst run
     counts = below[1:] - below[:-1]
     # slot (d, i) pulls sorted record offsets[d] + i when i < counts[d]
-    di = jnp.arange(n_dst, dtype=i32)[:, None]
     ii = jnp.arange(cap, dtype=i32)[None, :]
     rec = offsets[:, None] + ii  # (n_dst, cap)
     valid = ii < jnp.minimum(counts, cap)[:, None]
@@ -70,7 +69,6 @@ def bucket_local(dst: jax.Array, payload: jax.Array, n_dst: int, cap: int):
         sorted_payload[:, rec].reshape(k, n_dst, cap), 1, 0
     )  # (n_dst, K, cap)
     buckets = jnp.where(valid[:, None, :], buckets, 0.0)
-    del di
     return buckets, valid, jnp.max(counts)
 
 
