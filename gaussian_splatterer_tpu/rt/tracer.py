@@ -1054,10 +1054,14 @@ class RtxHost:
             # queued (dispatch is async; the chained += keeps order), then
             # retire the oldest — bounds queued device work (one giant
             # all-samples program once wedged the tunneled worker) without
-            # paying a full tunnel round-trip per batch
+            # paying a full tunnel round-trip per batch.  The retirement
+            # fence is a ONE-TEXEL D2H copy: block_until_ready's tunnel
+            # ready-signaling is unreliable (PERF.md round 4 — and the
+            # round-4b mid-run capture stall waited on it forever), while
+            # np.asarray has fenced correctly all along.
             self._inflight.append(color_sum)
             if len(self._inflight) >= self.max_inflight:
-                jax.block_until_ready(self._inflight.pop(0))
+                np.asarray(self._inflight.pop(0)[0, 0])
                 self._inflight = [x for x in self._inflight if not x.is_ready()]
             done += b
         # the final image is returned lazily: callers consume it through

@@ -165,6 +165,12 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--interval-densify", type=int)
     ap.add_argument("--interval-capture", type=int)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write <out>/ckpt/latest.npz every N iterations "
+                         "(crash/stall insurance for long tunnel runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/ckpt/latest.npz; trains the "
+                         "REMAINING steps up to --steps")
     ap.add_argument("--eval-samples", type=int, default=0,
                     help="RT samples for the held-out PSNR truths "
                          "(0 = same as --samples).  Training truths are "
@@ -219,24 +225,37 @@ def main():
         s.rtx.load_texture_diffuse(checker_texture())
         s.init_field("model")
 
+    steps_to_run = args.steps
+    ckpt_dir = os.path.join(args.out, "ckpt")
+    if args.resume:
+        s.resume_from_checkpoint(ckpt_dir)
+        steps_to_run = max(args.steps - s.project.iterations, 0)
+        print(f"resumed at iteration {s.project.iterations}; "
+              f"{steps_to_run} steps remain", flush=True)
+
     t0 = time.time()
     s.capture()
     print(f"capture: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     hist = []
+    it0 = s.project.iterations
 
     def on_step(it, metrics):
         if it % 25 == 0:
-            rate = it / max(time.time() - t0, 1e-9)
+            rate = (it - it0) / max(time.time() - t0, 1e-9)
             entry = dict(it=it, loss=float(metrics.loss),
                          splats=int(s.model.count), steps_per_s=rate)
             hist.append(entry)
             print(json.dumps(entry), flush=True)
 
-    schedule_stats = s.auto_train(args.steps, on_step=on_step)
+    schedule_stats = s.auto_train(
+        steps_to_run, on_step=on_step,
+        checkpoint_dir=ckpt_dir if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+    )
     train_time = time.time() - t0
-    steps_per_s = args.steps / train_time
+    steps_per_s = steps_to_run / max(train_time, 1e-9)
 
     # PSNR on fresh (held-out rotation) truth views, black background
     from gaussian_splatterer_tpu.train.trainer import randomize_rig_rotations
