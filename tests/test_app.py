@@ -241,3 +241,36 @@ def test_cli_doctor(capsys):
     assert rc == 0
     assert out["numerics_gate"] == "ok"
     assert out["micro_step_per_s"] > 0
+
+
+def test_eval_model_script(tmp_path, capsys, monkeypatch):
+    """scripts/eval_model.py re-scores a saved final.npz checkpoint against
+    freshly captured truths (run in-process: subprocess env vars cannot
+    force the CPU backend under the axon sitecustomize)."""
+    import importlib.util
+    import sys as _sys
+
+    from gaussian_splatterer_tpu.io.checkpoint import save_checkpoint
+    from gaussian_splatterer_tpu.models.splats import SplatModelHost
+
+    h = SplatModelHost(16, 1, 4)
+    h.push_back([0, 0, 0], np.zeros((4, 3), np.float32), [0.3] * 3, 0.8,
+                [1, 0, 0, 0])
+    p = Project.app_default()
+    p.sphere1.count = 4
+    save_checkpoint(os.path.join(tmp_path, "final.npz"), h.to_device(), p)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "eval_model", os.path.join(root, "scripts", "eval_model.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    monkeypatch.setattr(_sys, "argv", [
+        "eval_model.py", str(tmp_path), "--samples", "2", "--views", "2",
+        "--res", "32", "--scene", "cross",
+    ])
+    spec.loader.exec_module(mod)  # runs main() via __main__ guard? no —
+    mod.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["splats"] == 1
+    assert np.isfinite(out["psnr_mean"])
