@@ -37,6 +37,13 @@ def _make_session(args, require: bool = False):
     if getattr(args, "capacity", None):
         runtime.splats_capacity = args.capacity
         resized = True
+    if getattr(args, "devices", None) is not None:
+        # multi-device training (camera-DP by default; see
+        # RuntimeConfig.train_mesh).  Persists with the project like every
+        # other runtime knob; pass --devices 1 to go back to single-device.
+        runtime.train_devices = args.devices
+        if args.devices > 1:
+            runtime.capture_data_parallel = True
     # generic runtime-knob overrides: --runtime key=value (repeatable),
     # e.g. --runtime lr_location_decay=0.9988 --runtime sh_degree=3
     import dataclasses
@@ -295,6 +302,11 @@ def main(argv=None) -> int:
     p_tr.add_argument("project")
     p_tr.add_argument("--steps", type=int, default=200)
     p_tr.add_argument("--renderer", choices=["tiled", "oracle"], default="tiled")
+    p_tr.add_argument("--devices", type=int,
+                      help="shard training + recaptures over the first N "
+                           "local devices (camera-DP; --runtime "
+                           "train_mesh=fsdp for splat-sharded parameters). "
+                           "Persists with the project; --devices 1 reverts")
     p_tr.add_argument("--resolution", type=int)
     p_tr.add_argument("--capacity", type=int)
     p_tr.add_argument("--max-dup", type=int, dest="max_dup")

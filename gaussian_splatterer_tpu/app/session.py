@@ -62,6 +62,11 @@ class Session:
         ).to_device()
         self.trainer = Trainer(self.project, self.runtime, model, renderer=renderer)
 
+    @property
+    def devices(self):
+        """Devices the trainer shards over (None = single device)."""
+        return self.trainer.devices
+
     # -- scene ----------------------------------------------------------
     @property
     def model(self):

@@ -228,6 +228,24 @@ class RuntimeConfig:
     # each chip path-traces its share of the 2C truth frames.  Off by
     # default — on one chip it is a no-op, and multi-chip users opt in.
     capture_data_parallel: bool = False
+    # Multi-device TRAINING (the product path over parallel/dp.py and
+    # parallel/fsdp.py; no reference equivalent — the reference is
+    # strictly single-GPU).  train_devices = N > 1 runs every training
+    # step sharded over the first N local devices and shards truth
+    # (re)captures over the same devices; 0/1 = single-device.  The
+    # frame count 2*num_cameras must be divisible by N (the Trainer
+    # shrinks N to the largest divisor and warns otherwise).  CLI:
+    # ``gsplat-tpu train --devices N``.
+    train_devices: int = 0
+    # Mesh layout for train_devices > 1:
+    #   "dp"   — camera data-parallel (parallel/dp.py): model replicated,
+    #            truth frames sharded, one gradient psum per step.  The
+    #            right choice up to ~1M splats (grads are ~23 floats/splat).
+    #   "fsdp" — splat-sharded parameters (parallel/fsdp.py, ZeRO-3
+    #            style) on a 1 x N (camera x splat) mesh: rest-state
+    #            model memory is capacity/N per device; densify runs
+    #            gathered (parallel/densify.py) at its 200-step cadence.
+    train_mesh: str = "dp"
     # Resolution-invariant LR recipes (framework knob, 0 = off/reference
     # parity).  Gradients here are PIXEL SUMS of J^T r (the reference
     # convention, src/Trainer.cu:33-44), so a splat covering 16x more

@@ -314,6 +314,7 @@ class Trainer:
         renderer: str = "oracle",
         row_chunk: int = 32,
         render_fn: Optional[RenderFn] = None,
+        devices: Optional[Sequence] = None,
     ):
         self.project = project
         self.runtime = runtime
@@ -326,7 +327,43 @@ class Trainer:
         self.truth_cams: Optional[CameraBatch] = None
         self.last_metrics: Optional[TrainMetrics] = None
         self._capture_seed = 0  # sharded-capture PRNG stream counter
+        # multi-device product path (RuntimeConfig.train_devices /
+        # gsplat-tpu train --devices N): explicit ``devices`` wins,
+        # otherwise the runtime knob selects the first N local devices
+        self.devices = self._resolve_devices(devices)
+        self._mesh = None
+        self._model_sharded = False
         self._build_step()
+
+    def _resolve_devices(self, devices) -> Optional[list]:
+        if devices is None:
+            n = int(getattr(self.runtime, "train_devices", 0) or 0)
+            if n <= 1:
+                return None
+            all_dev = jax.devices()
+            if len(all_dev) < n:
+                raise RuntimeError(
+                    f"train_devices={n} but only {len(all_dev)} devices "
+                    "are attached"
+                )
+            devices = all_dev[:n]
+        devices = list(devices)
+        if len(devices) <= 1:
+            return None
+        # the DP/FSDP steps shard the 2F truth frames evenly: shrink to
+        # the largest divisor of the frame count rather than fail
+        frames = 2 * self.project.num_cameras
+        n = len(devices)
+        while frames % n:
+            n -= 1
+        if n != len(devices):
+            import warnings
+
+            warnings.warn(
+                f"2*num_cameras={frames} not divisible by "
+                f"{len(devices)} devices; training on {n}"
+            )
+        return devices[:n] if n > 1 else None
 
     def _build_step(self) -> None:
         """(Re)build the jitted step from the current RuntimeConfig —
@@ -360,6 +397,9 @@ class Trainer:
             fused = True
             self._fused = True
             fused_opts = fused_kw_from_runtime(runtime)
+        if self.devices is not None:
+            self._build_mesh_step(fused)
+            return
         self._step = make_train_step(
             runtime.render_resolution_x,
             runtime.render_resolution_y,
@@ -374,6 +414,86 @@ class Trainer:
             fused=fused,
             fused_opts=fused_opts,
             frame_group=runtime.frame_group,
+        )
+
+    def _build_mesh_step(self, fused: bool) -> None:
+        """Sharded step for the multi-device product path.  The mesh
+        kind comes from RuntimeConfig.train_mesh:
+
+          * "dp": replicated model over a 1-D camera mesh
+            (parallel/dp.py) — densify and serve renders work unchanged.
+          * "fsdp": splat-sharded model on a 1 x N (camera x splat) mesh
+            (parallel/fsdp.py) — rest-state model memory is capacity/N
+            per device; densify gathers (parallel/densify.py) and serve
+            renders gather the parameters first.
+
+        Both consume the SAME (model, truths, cams, lrs) call signature
+        as the single-device step, so train()/auto_train/session code is
+        sharding-agnostic."""
+        from jax.sharding import PartitionSpec as P
+
+        runtime = self.runtime
+        kind = getattr(runtime, "train_mesh", "dp")
+        common = dict(
+            renderer=self.renderer,
+            render_fn=self._render_fn if self._user_render else None,
+            row_chunk=self.row_chunk,
+            runtime=runtime,
+            frame_group=runtime.frame_group,
+        )
+        if kind == "dp":
+            from gaussian_splatterer_tpu.parallel.dp import (
+                CAMERA_AXIS,
+                make_camera_mesh,
+                make_dp_train_step,
+            )
+
+            self._mesh = make_camera_mesh(self.devices)
+            self._model_sharded = False
+            self._truth_pspec = P(CAMERA_AXIS)
+            self._step = make_dp_train_step(
+                self._mesh,
+                runtime.render_resolution_x, runtime.render_resolution_y,
+                runtime.sh_degree, **common,
+            )
+        elif kind == "fsdp":
+            from gaussian_splatterer_tpu.parallel.fsdp import (
+                CAMERA_AXIS,
+                SPLAT_AXIS,
+                make_2d_mesh,
+                make_fsdp_train_step,
+                shard_model,
+            )
+
+            self._mesh = make_2d_mesh(1, len(self.devices), self.devices)
+            self._model_sharded = True
+            self._reshard_model = shard_model
+            self._truth_pspec = P((CAMERA_AXIS, SPLAT_AXIS))
+            self._step = make_fsdp_train_step(
+                self._mesh,
+                runtime.render_resolution_x, runtime.render_resolution_y,
+                runtime.sh_degree, **common,
+            )
+            # rest-state sharding: place the model now (steps re-emit the
+            # same sharding; a later direct model assignment still works —
+            # the jitted step reshards its inputs)
+            self.model = shard_model(self._mesh, self.model)
+        else:
+            raise ValueError(
+                f"unknown train_mesh {kind!r} (expected 'dp' or 'fsdp')"
+            )
+
+    def _gathered_model(self) -> SplatModel:
+        """Replicated copy of the model (identity for dp/single-device)."""
+        if not self._model_sharded or self._mesh is None:
+            return self.model
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self._mesh, P())
+        return jax.tree.map(
+            lambda x: jax.device_put(x, rep)
+            if getattr(x, "ndim", None) is not None else x,
+            self.model,
         )
 
     # ------------------------------------------------------------------
@@ -526,6 +646,10 @@ class Trainer:
         w = self.runtime.render_resolution_x
         h = self.runtime.render_resolution_y
         cameras = Camera.get_cameras(self.project)
+        if devices is None and self.devices is not None:
+            # multi-device training shards its recaptures over the same
+            # devices by default (captures are embarrassingly parallel)
+            devices = self.devices
 
         if devices is not None and len(devices) > 1 and getattr(
             rtx, "_tris", None
@@ -557,6 +681,15 @@ class Trainer:
             truths = jax.vmap(
                 lambda im: image_to_tiles_cm(im, self._tile_space)
             )(truths)
+        if self._mesh is not None:
+            # place the frame axis across the training mesh so the sharded
+            # step starts from the right layout (a stale placement would
+            # still be correct — jit reshards — but costs a gather/step)
+            from jax.sharding import NamedSharding
+
+            truths = jax.device_put(
+                truths, NamedSharding(self._mesh, self._truth_pspec)
+            )
         self.truths = truths
         self.truth_cams = CameraBatch.from_cameras(cameras, w, h, train=True)
 
@@ -630,12 +763,27 @@ class Trainer:
                     )
                 )
             with jax.profiler.TraceAnnotation("gsplat.densify"):
-                self.model = densify(
-                    self.model,
-                    metrics.var_loc,
-                    metrics.avg_grad_loc,
-                    dp,
-                )
+                if self._model_sharded and self._mesh is not None:
+                    # splat-sharded parameters: gather -> exact densify ->
+                    # re-shard (parallel/densify.py; the reference's own
+                    # densify is a host-side gather at this same cadence,
+                    # src/Trainer.cu:433-542)
+                    from gaussian_splatterer_tpu.parallel.densify import (
+                        densify_sharded,
+                    )
+
+                    self.model = densify_sharded(
+                        self._mesh, self.model,
+                        metrics.var_loc, metrics.avg_grad_loc,
+                        dp, self._reshard_model,
+                    )
+                else:
+                    self.model = densify(
+                        self.model,
+                        metrics.var_loc,
+                        metrics.avg_grad_loc,
+                        dp,
+                    )
             # densify syncs the host anyway — free moment to check binning
             # overflow and grow the duplicate buffer (recompile) if needed
             self.maybe_grow_dup_buffer(metrics)
@@ -661,7 +809,7 @@ class Trainer:
         if self.truth_cams is None:
             raise RuntimeError("no truth cameras captured")
         i = camera_index
-        m = self.model
+        m = self._gathered_model()
         c = project_splat_components(
             m.means, m.shs, m.scales, m.opacities, m.rotations, m.active_mask(),
             self.truth_cams.view[i], self.truth_cams.proj_view[i],
@@ -701,7 +849,7 @@ class Trainer:
         h = height or self.runtime.render_resolution_y
         render = self._render_fn or _default_render(self.renderer, self.row_chunk)
         tan_x, tan_y = camera.tan_fov(w, h, train=False)
-        m = self.model
+        m = self._gathered_model()  # fsdp: one all-gather; else identity
         return render(
             m.means, m.shs, m.scales, m.opacities, m.rotations, m.active_mask(),
             jnp.asarray(camera.get_view()), jnp.asarray(camera.get_proj_view(w / h)),
