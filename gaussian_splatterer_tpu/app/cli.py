@@ -148,12 +148,18 @@ def cmd_train(args):
                 flush=True,
             )
 
+    watch_dir = os.path.join(args.project, "watch")
+    if args.watch:
+        print(f"watch: open file://{os.path.abspath(watch_dir)}/index.html "
+              "in a browser (auto-refreshes)", flush=True)
     session.auto_train(
         args.steps, on_step=on_step,
         checkpoint_dir=ckpt_dir if args.checkpoint_every else None,
         checkpoint_every=args.checkpoint_every,
         snapshot_dir=args.snapshot_dir or os.path.join(args.project, "snapshots"),
         snapshot_every=args.snapshot_every,
+        watch_dir=watch_dir if args.watch else None,
+        watch_every=args.watch_every if args.watch else 0,
     )
     session.save_project(args.project)
     print(f"trained {args.steps} steps in {time.time()-t0:.1f}s; saved")
@@ -325,6 +331,11 @@ def main(argv=None) -> int:
                            "headless live-preview equivalent)")
     p_tr.add_argument("--snapshot-dir",
                       help="snapshot directory (default PROJECT/snapshots)")
+    p_tr.add_argument("--watch", action="store_true",
+                      help="live-watch mode: rewrite PROJECT/watch/"
+                           "index.html + latest.png every --watch-every "
+                           "iters; open it in a browser to track the run")
+    p_tr.add_argument("--watch-every", type=int, default=25)
     p_tr.set_defaults(fn=cmd_train)
 
     p_re = sub.add_parser("render", help="export a PNG")

@@ -121,32 +121,67 @@ class Session:
                    checkpoint_dir: Optional[str] = None,
                    checkpoint_every: int = 0,
                    snapshot_dir: Optional[str] = None,
-                   snapshot_every: int = 0) -> None:
+                   snapshot_every: int = 0,
+                   watch_dir: Optional[str] = None,
+                   watch_every: int = 0) -> None:
         """Reference auto-train loop: randomized re-capture every
         intervalCapture iters, densify every intervalDensify.  Optional
         crash-recovery checkpoints (binary .npz, io/checkpoint.py) every
         ``checkpoint_every`` iterations, and a PNG snapshot series every
         ``snapshot_every`` iterations — the headless stand-in for the
         reference's live splat-preview panel
-        (src/ui/UiPanelViewOutput.cpp:52-70)."""
+        (src/ui/UiPanelViewOutput.cpp:52-70).
+
+        ``watch_dir``/``watch_every``: live-watch mode — every N
+        iterations rewrite ``watch_dir/index.html`` (self-refreshing) +
+        ``latest.png`` + ``status.json`` so an open browser tab tracks
+        the run (io/watch.py; the closest headless analog of the
+        reference's live preview panel)."""
         from gaussian_splatterer_tpu.io.checkpoint import save_checkpoint
+
+        t_start = time.monotonic()
+        it_start = self.project.iterations
+        watch_history: list = []
+
+        def _advance_preview_clock():
+            # advance the free-orbit preview clock by the elapsed wall
+            # time, like the reference's per-tick update
+            # (src/ui/UiFrame.cpp:272: previewTimer += delta), so the
+            # snapshot/watch series orbits the model instead of
+            # re-rendering one static view
+            now = time.monotonic()
+            last = getattr(self, "_last_snapshot_time", None)
+            if last is not None:
+                self.project.previewTimer += now - last
+            self._last_snapshot_time = now
 
         def log_step(it, metrics):
             if snapshot_dir and snapshot_every and it % snapshot_every == 0:
                 os.makedirs(snapshot_dir, exist_ok=True)
-                # advance the free-orbit preview clock by the elapsed wall
-                # time, like the reference's per-tick update
-                # (src/ui/UiFrame.cpp:272: previewTimer += delta), so the
-                # snapshot series orbits the model instead of re-rendering
-                # one static view
-                now = time.monotonic()
-                last = getattr(self, "_last_snapshot_time", None)
-                if last is not None:
-                    self.project.previewTimer += now - last
-                self._last_snapshot_time = now
+                _advance_preview_clock()
                 self.export_splats_png(
                     os.path.join(snapshot_dir, f"iter_{it:06d}.png")
                 )
+            if watch_dir and watch_every and it % watch_every == 0:
+                from gaussian_splatterer_tpu.io.watch import write_watch_page
+
+                os.makedirs(watch_dir, exist_ok=True)
+                _advance_preview_clock()
+                self.export_splats_png(os.path.join(watch_dir, "latest.png"))
+                elapsed = time.monotonic() - t_start
+                status = {
+                    "iteration": it,
+                    "loss": f"{float(metrics.loss):.6f}",
+                    "splats": f"{int(self.model.count)} / {self.model.capacity}",
+                    "steps/s": f"{(it - it_start) / max(elapsed, 1e-9):.2f}",
+                    "elapsed": f"{elapsed:.0f}s",
+                    "devices": len(self.devices) if self.devices else 1,
+                }
+                watch_history.append(
+                    {"it": it, "loss": round(float(metrics.loss), 6),
+                     "splats": int(self.model.count)}
+                )
+                write_watch_page(watch_dir, status, watch_history)
             # pass device scalars through unconverted: the logger only
             # materializes them on emitting iterations, so the training loop
             # never blocks on a device->host sync just to log

@@ -71,6 +71,25 @@ def test_session_end_to_end(obj_path, tmp_path):
     assert png.exists()
 
 
+def test_watch_mode(obj_path, tmp_path):
+    """--watch live page: index.html + latest.png + status.json rewritten
+    at the watch cadence (io/watch.py; the headless live-preview analog of
+    src/ui/UiPanelViewOutput.cpp:52-70)."""
+    s = tiny_session()
+    s.load_model_obj(obj_path)
+    s.init_field("mono")
+    s.capture()
+    wd = tmp_path / "watch"
+    s.auto_train(2, watch_dir=str(wd), watch_every=1)
+    assert (wd / "index.html").exists()
+    assert (wd / "latest.png").exists()
+    status = json.loads((wd / "status.json").read_text())
+    assert status["iteration"] == 2
+    assert "splats" in status
+    html = (wd / "index.html").read_text()
+    assert "http-equiv=\"refresh\"" in html and "latest.png?it=2" in html
+
+
 def test_init_field_model(obj_path):
     s = tiny_session()
     s.load_model_obj(obj_path)
