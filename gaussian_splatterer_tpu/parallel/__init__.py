@@ -18,6 +18,7 @@ from gaussian_splatterer_tpu.parallel.mesh3 import (
     shard_truths_3d,
 )
 from gaussian_splatterer_tpu.parallel.capture import capture_images_sharded
+from gaussian_splatterer_tpu.parallel.densify import densify_sharded
 from gaussian_splatterer_tpu.parallel.routed3 import (
     RouteStats,
     make_routed3_train_step,
@@ -32,6 +33,7 @@ from gaussian_splatterer_tpu.parallel.tp import (
 __all__ = [
     "CAMERA_AXIS",
     "capture_images_sharded",
+    "densify_sharded",
     "SPLAT_AXIS",
     "TILE_AXIS",
     "make_camera_mesh",
