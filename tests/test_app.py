@@ -162,6 +162,7 @@ def test_binning_stats(obj_path):
     assert not stats["overflow"]
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_cli_checkpoint_resume_and_snapshots(obj_path, tmp_path):
     """CLI crash-recovery surface: --checkpoint-every / --resume /
     --snapshot-every (reference live-preview stand-in)."""
@@ -235,6 +236,7 @@ def test_cli_runtime_persistence(obj_path, tmp_path):
     assert rt3.render_resolution_x == 32  # untouched fields persist
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_snapshot_series_orbits_preview(obj_path, tmp_path):
     """The snapshot series advances the free-orbit preview clock like the
     reference's per-tick update (src/ui/UiFrame.cpp:272), so successive
@@ -262,6 +264,7 @@ def test_cli_doctor(capsys):
     assert out["micro_step_per_s"] > 0
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_eval_model_script(tmp_path, capsys, monkeypatch):
     """scripts/eval_model.py re-scores a saved final.npz checkpoint against
     freshly captured truths (run in-process: subprocess env vars cannot

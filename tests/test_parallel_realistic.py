@@ -121,6 +121,7 @@ def test_dp_realistic_shape(scene, single_ref):
     _check(m1, met1, m2, met2)
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_band_realistic_shape(scene, single_ref):
     """(1, 8) image-band sharding at a band-IMBALANCED duplicate
     distribution (the bench scene concentrates splats centrally, so

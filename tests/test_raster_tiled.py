@@ -246,6 +246,7 @@ def test_fused_train_grads_match_vjp_path():
         )
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_batched_train_grads_match_per_frame():
     """The frame-batched fused kernel == per-frame fused calls summed:
     same losses, same gradient sums, same per-frame residuals and
@@ -316,6 +317,7 @@ def test_batched_train_grads_match_per_frame():
         )
 
 
+@pytest.mark.slow  # deselected by default (pyproject addopts); run with -m slow
 def test_fused_train_grads_mid_scale():
     """Mid-scale parity (5k splats, 256^2, tile 32): every tile covers
     multiple 128-splat chunks and most feature blocks are shared across
