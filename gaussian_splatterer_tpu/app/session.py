@@ -291,6 +291,9 @@ class Session:
     def load_settings(self, path: str) -> None:
         self.project = Project.load(path)
         self.trainer.project = self.project
+        # the loaded rig may change 2*num_cameras: re-resolve the training
+        # device list (its frame-divisor shrink depends on the rig size)
+        self.trainer.refresh_devices()
         if self.project.pathModel and os.path.exists(self.project.pathModel):
             self.load_model_obj(self.project.pathModel)
         if self.project.pathTextureDiffuse and os.path.exists(

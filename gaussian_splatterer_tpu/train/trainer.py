@@ -365,6 +365,22 @@ class Trainer:
             )
         return devices[:n] if n > 1 else None
 
+    def refresh_devices(self) -> None:
+        """Re-resolve the device list after the Project changed under us
+        (Session.load_settings swaps the camera rig in place): the
+        frame-divisor shrink depends on 2*num_cameras, so a rig loaded
+        after construction could otherwise train on a stale mesh size."""
+        new = self._resolve_devices(None)
+        cur = self.devices
+        if (new is None) != (cur is None) or (
+            new is not None and cur is not None
+            and [d.id for d in new] != [d.id for d in cur]
+        ):
+            self.devices = new
+            self._mesh = None
+            self._model_sharded = False
+            self._build_step()
+
     def _build_step(self) -> None:
         """(Re)build the jitted step from the current RuntimeConfig —
         called at construction and when maybe_grow_dup_buffer recompiles."""
