@@ -52,7 +52,9 @@ class Session:
         self.runtime = runtime or RuntimeConfig()
         self.renderer = renderer
         self.rng = rng or random.Random()
-        self.rtx = RtxHost()
+        self.rtx = RtxHost(
+            roulette_from=getattr(self.runtime, "rt_roulette_from", 0)
+        )
         self.logger = MetricsLogger()
         # boot field: the reference starts on the 17^3 grid
         # (src/ui/UiFrame.cpp:67); fall back to mono under tiny capacities
@@ -281,6 +283,7 @@ class Session:
                     capacity=runtime.splats_capacity,
                 ).to_device()
         self.runtime = runtime
+        self.rtx.roulette_from = getattr(runtime, "rt_roulette_from", 0)
         self.trainer = Trainer(
             self.project, runtime, model, renderer=self.renderer
         )

@@ -93,13 +93,14 @@ def capture_images_sharded(
     rc, tc, bc, br = (
         rtx.ray_chunk, rtx.tri_chunk, rtx.bounce_chunk, rtx.bounce_round
     )
+    roul = getattr(rtx, "roulette_from", 0)
 
     def frame_fn(loc, inv_pv, bg, key):
         color_sum, _ = render_rtx_sums(
             tris, texture, loc, inv_pv, width=width, height=height,
             samples=samples, background=bg, key=key, splat_cameras=None,
             bounces=bounces, ray_chunk=rc, tri_chunk=tc, env=env,
-            bounce_chunk=bc, bounce_round=br,
+            bounce_chunk=bc, bounce_round=br, roulette_from=roul,
         )
         return color_sum  # (n_pix, 3)
 

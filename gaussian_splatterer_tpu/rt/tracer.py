@@ -416,7 +416,8 @@ def _unit_sphere(key, shape):
 
 def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
                  ox, oy, oz, dx, dy, dz, atten, result, alive, reflected,
-                 key, shared_origin=None):
+                 key, shared_origin=None, roulette_from: int = 0,
+                 bounce_i=None):
     """One path-tracing bounce for a flat ray batch (the reference device
     loop body, RtxDevice.cu:105-158).  Returns the updated state tuple plus
     this step's raw intersection distance (inf on miss — the primary pass
@@ -432,7 +433,12 @@ def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
     per the reference semantic).  Nearest-neighbor lookup."""
     r = ox.shape[0]
     th, tw = tex_cm.shape[1], tex_cm.shape[2]
-    kalpha, kscatter = jax.random.split(key)
+    if roulette_from:
+        # third stream only when roulette is on: the off path must keep
+        # the exact reference-parity sample stream bit-for-bit
+        kalpha, kscatter, kroul = jax.random.split(key, 3)
+    else:
+        kalpha, kscatter = jax.random.split(key)
     if shared_origin is not None:
         # primary pass: all rays share the eye — MXU matmul intersector
         t, tri, bu, bv = _intersect_shared(
@@ -452,8 +458,19 @@ def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
         exi = jnp.clip((u * ew).astype(jnp.int32), 0, ew - 1)
         eyi = jnp.clip((v * eh).astype(jnp.int32), 0, eh - 1)
         sky = env[eyi, exi]
-    miss_color = atten * sky
-    miss_out = jnp.where(reflected[:, None], miss_color, background[None, :])
+    # ``reflected`` carries the roulette boost as a float: 0 = never
+    # reflected (miss -> background), >= 1 = reflected with survival
+    # boost B (miss -> B * atten * sky).  The physical throughput
+    # ``atten`` stays <= 1 per component, so the reference's per-sample
+    # clamp is a no-op on it; the boost multiplies AFTER, keeping the
+    # estimator unbiased through the clamp (a boost folded into atten
+    # measured a -21% mean-brightness bias via clipping).  With roulette
+    # off, reflected is exactly 0/1 and this is the reference semantic.
+    refl_b = jnp.maximum(reflected, 1.0)[:, None]
+    miss_color = atten * sky * refl_b
+    miss_out = jnp.where(
+        (reflected > 0.0)[:, None], miss_color, background[None, :]
+    )
     missed = alive & ~jnp.isfinite(t)
     result = jnp.where(missed[:, None], miss_out, result)
 
@@ -482,14 +499,37 @@ def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
     dy = jnp.where(solid, scatter[:, 1], dy)
     dz = jnp.where(solid, scatter[:, 2], dz)
     atten = jnp.where(solid[:, None], atten * jnp.transpose(texel[0:3]), atten)
-    reflected = reflected | solid
+    reflected = jnp.maximum(reflected, solid.astype(jnp.float32))
     alive = alive & hit  # miss rays are done; hit rays continue
+
+    if roulette_from:
+        # Russian roulette (OPT-IN; framework deviation from the
+        # reference, which always marches to the 50-bounce cap,
+        # src/rtx/RtxDevice.cu:23).  From bounce ``roulette_from`` on,
+        # each REFLECTED surviving ray is killed with probability 1/2
+        # and survivors double their boost factor (carried in the
+        # ``reflected`` row; applied after the clamp-safe throughput at
+        # miss — see the miss-path note above).  Unreflected rays are
+        # never killed: they must still return the background color.
+        # Killed rays contribute black exactly like rays exceeding the
+        # cap.  Motivation is the trapped-ray tail: rays scattered into
+        # a closed mesh's interior otherwise pin their bounce chunks
+        # for all 50 iterations (device trace, round 5: ~45% of capture
+        # time is the bounce phase).  Max-component roulette (survival
+        # = throughput) was measured a NO-OP on tail length at albedo
+        # ~0.9; the flat 1/2 actually cuts it.
+        u_roul = jax.random.uniform(kroul, (r,))
+        gate = (bounce_i >= roulette_from) & (reflected > 0.0)
+        kill = alive & gate & (u_roul >= 0.5)
+        boost = alive & gate & ~kill
+        reflected = jnp.where(boost, reflected * 2.0, reflected)
+        alive = alive & ~kill
 
     return (ox, oy, oz, dx, dy, dz, atten, result, alive, reflected), t
 
 
 def trace_rays(tris, texture, origins, dirs, bounces, background, key,
-               tri_chunk: int, env=None):
+               tri_chunk: int, env=None, roulette_from: int = 0):
     """Trace one batch of primary rays to completion.
 
     origins/dirs: (R, 3).  Returns (color (R, 3), primary_t (R,)) where
@@ -508,7 +548,7 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
         jnp.ones((r, 3), jnp.float32),   # atten
         jnp.zeros((r, 3), jnp.float32),  # result
         jnp.ones((r,), bool),            # alive
-        jnp.zeros((r,), bool),           # reflected
+        jnp.zeros((r,), jnp.float32),    # reflected (0 / roulette boost)
     )
     primary_t = jnp.full((r,), jnp.inf, jnp.float32)
 
@@ -520,7 +560,8 @@ def trace_rays(tris, texture, origins, dirs, bounces, background, key,
         i, state, primary_t, key = s
         key, kb = jax.random.split(key)
         state, t = _bounce_step(
-            tris, texture, background, env, tri_chunk, *state, kb
+            tris, texture, background, env, tri_chunk, *state, kb,
+            roulette_from=roulette_from, bounce_i=i,
         )
         primary_t = jnp.where((i == 0) & jnp.isfinite(t), t, primary_t)
         return i + 1, state, primary_t, key
@@ -551,6 +592,7 @@ def render_rtx_sums(
     env: Optional[jax.Array] = None,
     bounce_chunk: int = 4096,
     bounce_round: Optional[int] = None,
+    roulette_from: int = 0,
 ):
     """One dispatch of ``samples`` paths per pixel: returns the flat
     (n_pix, 3) color SUM and (n_pix,) orb-overlay mask, so the host can
@@ -624,17 +666,18 @@ def render_rtx_sums(
                 jnp.ones((ray_chunk, 3), jnp.float32),
                 jnp.zeros((ray_chunk, 3), jnp.float32),
                 jnp.ones((ray_chunk,), bool),
-                jnp.zeros((ray_chunk,), bool),
+                jnp.zeros((ray_chunk,), jnp.float32),  # reflected/boost
             )
             state, primary_t = _bounce_step(
                 tris, texture, background, env, tri_chunk, *state,
                 jax.random.fold_in(kt, c), shared_origin=cam_location,
+                roulette_from=roulette_from, bounce_i=jnp.int32(0),
             )
             (sox, soy, soz, sdx, sdy, sdz, atten, result, alive, refl) = state
             rows = jnp.stack([
                 sox, soy, soz, sdx, sdy, sdz,
                 atten[:, 0], atten[:, 1], atten[:, 2],
-                alive.astype(jnp.float32), refl.astype(jnp.float32),
+                alive.astype(jnp.float32), refl,  # refl row IS the boost
             ])  # (11, ray_chunk)
             # orb overlay: primary ray passes near a truth camera, not occluded
             if splat_cameras is not None and splat_cameras.shape[0] > 0:
@@ -731,7 +774,7 @@ def render_rtx_sums(
                     jnp.transpose(blk[6:9]),
                     jnp.transpose(blk[11:14]),
                     blk[9] > 0.5,
-                    blk[10] > 0.5,
+                    blk[10],  # reflected/boost row stays float
                 )
 
                 def bcond(si):
@@ -742,7 +785,8 @@ def render_rtx_sums(
                     i, state, k3 = si
                     k3, k2 = jax.random.split(k3)
                     state, _ = _bounce_step(
-                        tris, texture, background, env, tri_chunk, *state, k2
+                        tris, texture, background, env, tri_chunk, *state, k2,
+                        roulette_from=roulette_from, bounce_i=i,
                     )
                     return i + 1, state, k3
 
@@ -754,9 +798,7 @@ def render_rtx_sums(
                 out = jnp.concatenate([
                     jnp.stack([ox, oy, oz, dx, dy, dz]),
                     jnp.transpose(atten),
-                    jnp.stack([
-                        alive.astype(jnp.float32), refl.astype(jnp.float32),
-                    ]),
+                    jnp.stack([alive.astype(jnp.float32), refl]),
                     jnp.transpose(result),
                 ])  # (14, bounce_chunk)
                 s = jax.lax.dynamic_update_slice(s, out, (0, c * bounce_chunk))
@@ -792,7 +834,13 @@ def render_rtx_sums(
         _, order = jax.lax.sort_key_val(ids, iota, is_stable=False)
         bres = bres_c[:, order]
         color = jnp.where(alive_primary[None, :], bres, pres)
-        color = jnp.clip(jnp.transpose(color), 0.0, 1.0)  # (n_pad, 3)
+        if roulette_from:
+            # roulette results are (clamp-safe throughput) x boost: the
+            # per-sample estimate may exceed 1 by design; clipping it
+            # would re-introduce the bias the boost construction avoids.
+            color = jnp.maximum(jnp.transpose(color), 0.0)  # (n_pad, 3)
+        else:
+            color = jnp.clip(jnp.transpose(color), 0.0, 1.0)  # (n_pad, 3)
         return (
             color_acc + color[:n_pix],
             orb_acc | orbs.reshape(n_pad)[:n_pix],
@@ -853,7 +901,8 @@ class RtxHost:
 
     def __init__(self, tri_chunk: int = 512, ray_chunk: int = 16384,
                  sample_batch: int = 8, bounce_chunk: int = 4096,
-                 max_inflight: int = 4, bounce_round: Optional[int] = None):
+                 max_inflight: int = 4, bounce_round: Optional[int] = None,
+                 roulette_from: int = 0):
         self.tri_chunk = tri_chunk
         self.ray_chunk = ray_chunk
         # bounce-phase chunk width: smaller than ray_chunk so per-chunk
@@ -863,6 +912,9 @@ class RtxHost:
         self.bounce_chunk = bounce_chunk
         # bounces per phase between alive re-compactions (render_rtx_sums)
         self.bounce_round = bounce_round
+        # Russian-roulette start bounce (0 = off, reference parity —
+        # see _bounce_step; opt-in speed/variance trade for captures)
+        self.roulette_from = roulette_from
         # sample-batch dispatches in flight before blocking: pipelining
         # hides the tunnel's ~30 ms/dispatch host latency under device
         # work (a 16-camera x 2-background x 4-batch recapture is 128
@@ -883,7 +935,7 @@ class RtxHost:
             render_rtx_sums,
             static_argnames=("width", "height", "samples", "bounces",
                             "ray_chunk", "tri_chunk", "bounce_chunk",
-                            "bounce_round"),
+                            "bounce_round", "roulette_from"),
         )
         self._seed = 0
 
@@ -1047,6 +1099,7 @@ class RtxHost:
                 bounces=bounces, ray_chunk=rc, tri_chunk=self.tri_chunk,
                 env=self._env, bounce_chunk=self.bounce_chunk,
                 bounce_round=self.bounce_round,
+                roulette_from=self.roulette_from,
             )
             color_sum = c if color_sum is None else color_sum + c
             orb = o if orb is None else orb | o

@@ -9,6 +9,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
@@ -81,12 +83,15 @@ def run_stage(name):
 
     t0 = time.perf_counter()
     out = step(params, truth_tiles)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # D2H fence (block_until_ready lies, PERF.md r4)
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = 5
+    # dispatch all reps back-to-back (pipelined), then D2H-fence each in
+    # order — block_until_ready through the axon tunnel is not a fence
     outs = [step(params, truth_tiles) for _ in range(reps)]
-    jax.block_until_ready(outs)
+    for o in outs:
+        np.asarray(o[0])
     t_run = (time.perf_counter() - t0) / reps
     print(
         f"[{name}] res={res} F={f} max_dup={max_dup}: compile+1st "

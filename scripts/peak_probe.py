@@ -49,11 +49,13 @@ def main():
     w = ap.parse_args().which
     rng = np.random.default_rng(0)
 
-    if w in ("pallas_fma", "pallas_exp", "pallas_fma_ilp", "pallas_exp_ilp"):
+    if w in ("pallas_fma", "pallas_exp", "pallas_fma_ilp", "pallas_exp_ilp",
+             "pallas_exp_bf16", "pallas_log", "pallas_log_bf16"):
         from jax.experimental import pallas as pl
 
         P, C, G, KK = 1024, 256, 256, 64  # train-kernel block shape
         ILP = 8  # independent chains: throughput, not FMA-latency
+        dtype = jnp.bfloat16 if w.endswith("bf16") else jnp.float32
 
         def kern(x_ref, o_ref):
             y = x_ref[...]
@@ -76,19 +78,28 @@ def main():
                 for _ in range(4):
                     acc = [jnp.exp(-a) * 0.5 for a in acc]
                 y = acc[0] + acc[1] + acc[2] + acc[3]
+            elif w in ("pallas_log", "pallas_log_bf16"):
+                # log throughput at the kernel's other transcendental
+                # (log1p(-alpha) in the transmittance path)
+                for _ in range(16):
+                    y = jnp.log(y * 0.5 + 0.8)
             else:
+                # pallas_exp / pallas_exp_bf16: the bf16 variant asks
+                # whether the VPU has a cheaper half-precision
+                # transcendental path (it would let the train kernel cast
+                # the Gaussian power to bf16 before exp)
                 for _ in range(16):
                     y = jnp.exp(-y) * 0.5
             o_ref[...] = y
 
         x = jnp.asarray(
             rng.uniform(0.5, 0.6, (G, P, C)).astype(np.float32)
-        )
+        ).astype(dtype)
 
         def run(x):
             return pl.pallas_call(
                 kern,
-                out_shape=jax.ShapeDtypeStruct((G, P, C), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((G, P, C), dtype),
                 grid=(G,),
                 in_specs=[pl.BlockSpec((1, P, C), lambda g: (g, 0, 0))],
                 out_specs=pl.BlockSpec((1, P, C), lambda g: (g, 0, 0)),
@@ -99,8 +110,11 @@ def main():
             "pallas_fma_ilp": 2.0 * (KK // ILP) * ILP,
             "pallas_exp": 16.0,
             "pallas_exp_ilp": 16.0,
+            "pallas_exp_bf16": 16.0,
+            "pallas_log": 16.0,
+            "pallas_log_bf16": 16.0,
         }[w] * G * P * C
-        unit = "FLOP" if "fma" in w else "exp"
+        unit = "FLOP" if "fma" in w else ("log" if "log" in w else "exp")
         bench(run, x, work=ops, unit=unit, label=f"Pallas {w} ({G}x{P}x{C})")
     elif w in ("horner", "horner_ilp"):
         lanes = 8 if w == "horner_ilp" else 1

@@ -9,6 +9,7 @@ top device ops by total time.  Usage:
 """
 
 import argparse
+import sys
 import glob
 import gzip
 import json
@@ -16,6 +17,7 @@ import os
 import time
 from collections import defaultdict
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax

@@ -171,6 +171,11 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume from <out>/ckpt/latest.npz; trains the "
                          "REMAINING steps up to --steps")
+    ap.add_argument("--roulette-from", type=int, default=0,
+                    help="russian-roulette start bounce for captures "
+                         "(RuntimeConfig.rt_roulette_from; 0 = off/"
+                         "reference parity; 4 measured unbiased and "
+                         "1.5-2.3x faster captures)")
     ap.add_argument("--eval-samples", type=int, default=0,
                     help="RT samples for the held-out PSNR truths "
                          "(0 = same as --samples).  Training truths are "
@@ -209,6 +214,7 @@ def main():
         train_mm_power=args.mm_power,
         train_work_cap=args.work_cap,
         auto_shrink_buffers=args.work_cap is None,
+        rt_roulette_from=args.roulette_from,
     )
     s = Session(project=proj, runtime=runtime, renderer="tiled")
     if args.obj:

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--tri-chunk", type=int, default=512)
     ap.add_argument("--bounce-chunk", type=int, default=4096)
     ap.add_argument("--bounce-round", type=int, default=0)
+    ap.add_argument("--roulette-from", type=int, default=0,
+                    help="russian-roulette start bounce (0 = off/parity)")
+    ap.add_argument("--bounces", type=int, default=tr.MAX_BOUNCES)
     ap.add_argument("--max-inflight", type=int, default=4)
     ap.add_argument("--sample-batch", type=int, default=8)
     ap.add_argument("--mesh-res", type=int, default=32)
@@ -65,6 +68,7 @@ def main():
         bounce_chunk=args.bounce_chunk, max_inflight=args.max_inflight,
         sample_batch=args.sample_batch,
         bounce_round=args.bounce_round or None,
+        roulette_from=args.roulette_from,
     )
     rtx.load_model(mesh, accel_min=args.accel_min,
                    mxu_bounce=not args.no_mxu_bounce)
@@ -72,13 +76,14 @@ def main():
 
     tag = (f"ray={args.ray_chunk} tri={args.tri_chunk} "
            f"bchunk={args.bounce_chunk} K={args.bounce_round} "
-           f"batch={args.sample_batch} mxu={int(not args.no_mxu_bounce)}")
+           f"batch={args.sample_batch} mxu={int(not args.no_mxu_bounce)} "
+           f"roul={args.roulette_from} B={args.bounces}")
     cams = {"ns": [(cam_ns, "ns-cam")], "close": [(cam_close, "close-cam")],
             "both": [(cam_ns, "ns-cam"), (cam_close, "close-cam")]}[args.cams]
     for cam, label in cams:
         im = np.asarray(
             rtx.render(cam, np.zeros(3, np.float32), args.samples,
-                       args.res, args.res)
+                       args.res, args.res, bounces=args.bounces)
         )  # warmup + compile
         t0 = time.perf_counter()
         for rep in range(args.reps):
@@ -91,7 +96,7 @@ def main():
                 jax.profiler.start_trace(args.profile)
             img = rtx.render(
                 cam, (1.0, 1.0, 1.0) if rep % 2 else (0.0, 0.0, 0.0),
-                args.samples, args.res, args.res,
+                args.samples, args.res, args.res, bounces=args.bounces,
             )
             im = np.asarray(img)  # host materialization: cannot lie
             if prof:
