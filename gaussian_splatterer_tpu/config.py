@@ -159,15 +159,18 @@ class RuntimeConfig:
     tile_px: int = 32  # rasterizer tile edge (16/32; 32 measured fastest on v5e)
     max_dup: int = 2**21  # max splat-tile duplicate pairs per frame (binning capacity)
     rt_bounces: int = 50  # path-tracer bounce cap (reference src/rtx/RtxDevice.cu:23)
-    # Russian-roulette start bounce for truth captures (0 = off,
-    # reference parity: the reference always marches to the 50-bounce
-    # cap).  From bounce N on, each surviving ray is killed with
-    # probability 1/2 and survivors' attenuation doubles — the standard
-    # unbiased estimator; killed rays contribute black exactly like rays
-    # exceeding the cap.  Speeds captures by shortening the trapped-ray
-    # tail (rays bouncing inside closed geometry) at the cost of extra
-    # MC variance on multi-bounce light; the truth images are already
-    # MC-noisy at practical sample counts.
+    # Russian-roulette start bounce for captures (0 = off, reference
+    # parity: the reference always marches to the 50-bounce cap).  From
+    # bounce N on, each surviving reflected ray is killed with
+    # probability 1/2 and survivors carry a boost applied outside the
+    # per-sample clamp — unbiased in the MEAN, 1.5-2.3x faster captures
+    # (PERF.md round 5).  CAVEAT (measured): the estimator is
+    # heavy-tailed — deep-escaping rays carry 2^k boosts (fireflies), so
+    # per-pixel VARIANCE grows a lot at low sample counts.  Training
+    # truths feed an MSE loss whose floor is exactly that variance
+    # (resume A/B at 32 samples: loss floor 9.2e-4 -> 1.1e-2 on
+    # identical views).  Use for high-sample offline renders or
+    # non-MSE consumers; do NOT use for low-sample training truths.
     rt_roulette_from: int = 0
     frame_group: int = 8  # frames per fused-kernel launch (bounds transient HBM)
     # Train-kernel transmittance/gradient prefix sums on the MXU in

@@ -396,10 +396,113 @@ def _intersect_mxu_general(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     return t, i, u, v
 
 
+def _intersect_mxu_fused(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int,
+                         ray_block: int = 512):
+    """_intersect_mxu_general as ONE fused Pallas kernel: matmul +
+    epilogue + best-lane reduction never leave VMEM.
+
+    The XLA version materializes the (R, 4*Tc) intersection plane to HBM
+    between the dot and the epilogue/argmin (device trace, round 5:
+    40 ms/sample at the bounce shape — the largest single leaf in a
+    capture), and the one-hot best-lane reductions read it back.  Here
+    each (ray_block, tri_chunk) tile computes the (Rb, 4*Tc) plane
+    in-register, reduces it to per-ray best (t, u, v, idx) rows, and
+    folds chunks into the resident (8, Rb) output block — HBM traffic
+    drops from O(R * 4*Tc) per chunk to O(R) per call.
+
+    Same math as _intersect_mxu_general (HIGHEST-precision dot, same
+    epilogue ops, first-minimum tie-break), so results match to f32
+    reduction rounding; the brute-force A/B in tests/test_rt.py holds
+    both to the component-form reference."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    r = dx.shape[0]
+    n_chunks = tris["ax"].shape[0] // tri_chunk
+    feats = tris["feat10"]  # (10, 4*T), chunk-contiguous column groups
+    validf = tris["validf"]  # (1, T) float32 0/1 (2-D: 1-D lane blocks
+    # hit an XLA-vs-Mosaic tiling mismatch on real TPUs)
+
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    r10t = jnp.stack(
+        [dx, dy, dz, cx, cy, cz, ox, oy, oz, jnp.ones_like(dx)], axis=0
+    )  # (10, R): rays on lanes — no 10->128 pad on the block minor dim
+
+    rb = min(ray_block, r)
+    while r % rb:
+        rb //= 2
+
+    def kernel(r10_ref, g_ref, valid_ref, out_ref):
+        ck = pl.program_id(1)
+        nums = jax.lax.dot_general(
+            r10_ref[...], g_ref[...], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (Rb, 4*Tc) — in VMEM only
+        det = nums[:, 0:tri_chunk]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        u = nums[:, tri_chunk: 2 * tri_chunk] * inv_det
+        v = nums[:, 2 * tri_chunk: 3 * tri_chunk] * inv_det
+        t = nums[:, 3 * tri_chunk:] * inv_det
+        hit = (
+            (valid_ref[...] > 0.5)  # (1, Tc), broadcasts over rays
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_TMIN)
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        # first-minimum reduction without argmin (Mosaic-safe): lane
+        # iota where t equals the row min, then min-reduce the iota
+        lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        big = jnp.int32(2**30)
+        jmin = jnp.min(
+            jnp.where((t == tmin) & jnp.isfinite(tmin), lanes, big), axis=1
+        )  # (Rb,) first minimum; big when all-miss
+        onehot = lanes == jmin[:, None]
+        tj = jnp.sum(jnp.where(onehot, t, 0.0), axis=1)
+        tj = jnp.where(jmin < big, tj, jnp.inf)
+        uj = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+        vj = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+        ij = (ck * tri_chunk + jnp.where(jmin < big, jmin, 0)).astype(
+            jnp.float32
+        )
+        zero = jnp.zeros_like(tj)
+        cand = jnp.stack([tj, uj, vj, ij, zero, zero, zero, zero])  # (8, Rb)
+
+        @pl.when(ck == 0)
+        def _init():
+            out_ref[...] = cand
+
+        @pl.when(ck != 0)
+        def _fold():
+            cur = out_ref[...]
+            closer = tj < cur[0]  # strict: earlier chunk wins ties
+            out_ref[...] = jnp.where(closer[None, :], cand, cur)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, r), jnp.float32),
+        grid=(r // rb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((10, rb), lambda b, c: (0, b)),
+            pl.BlockSpec((10, 4 * tri_chunk), lambda b, c: (0, c)),
+            pl.BlockSpec((1, tri_chunk), lambda b, c: (0, c)),
+        ],
+        out_specs=pl.BlockSpec((8, rb), lambda b, c: (0, b)),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(r10t, feats, validf)
+    return out[0], out[3].astype(jnp.int32), out[1], out[2]
+
+
 def _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
     if "bb_minx" in tris:
         return _intersect_culled(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
     if "feat10" in tris:
+        if "validf" in tris:
+            return _intersect_mxu_fused(ox, oy, oz, dx, dy, dz, tris,
+                                        tri_chunk)
         return _intersect_mxu_general(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
     return _intersect_chunked(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
 
@@ -440,10 +543,19 @@ def _bounce_step(tris, tex_cm, background, env, tri_chunk: int,
     else:
         kalpha, kscatter = jax.random.split(key)
     if shared_origin is not None:
-        # primary pass: all rays share the eye — MXU matmul intersector
-        t, tri, bu, bv = _intersect_shared(
-            shared_origin, dx, dy, dz, tris, tri_chunk
-        )
+        if "validf" in tris:
+            # the fused Pallas intersector covers shared origins as the
+            # general case (t_num via the HIGHEST-precision matmul — the
+            # bounded ~1e-4 rounding note on _intersect_mxu_general);
+            # keeps the (R, 4Tc) plane in VMEM for primaries too
+            t, tri, bu, bv = _intersect_mxu_fused(
+                ox, oy, oz, dx, dy, dz, tris, tri_chunk
+            )
+        else:
+            # primary pass: all rays share the eye — MXU matmul intersector
+            t, tri, bu, bv = _intersect_shared(
+                shared_origin, dx, dy, dz, tris, tri_chunk
+            )
     else:
         t, tri, bu, bv = _intersect(ox, oy, oz, dx, dy, dz, tris, tri_chunk)
     hit = alive & jnp.isfinite(t)
@@ -941,12 +1053,21 @@ class RtxHost:
 
     # -- scene management (reference RtxHost::loadModel / loadTextureDiffuse)
     def load_model(self, source, progress=None, accel_min: int = 2 * 512,
-                   mxu_bounce: bool = True) -> None:
+                   mxu_bounce: bool = True, mt_kernel: bool = False) -> None:
         """``accel_min``: triangle count past which the Morton-chunk AABB
         march replaces brute force.  ``mxu_bounce``: on brute-force scenes,
         precompute the feature matrix that routes BOUNCE rays through the
         general-origin MXU matmul intersector (same math up to f32
-        rounding; False keeps the VPU component form for exact A/B)."""
+        rounding; False keeps the VPU component form for exact A/B).
+        ``mt_kernel``: use the fused Pallas intersect kernel
+        (_intersect_mxu_fused) for feat10 scenes instead of the XLA
+        dot+epilogue.  MEASURED NEUTRAL on v5e (ns-cam 6.02 vs 5.89 s,
+        close-up 17.2 vs 18.3 s per 32-sample capture) — the win of
+        keeping the (R, 4Tc) plane in VMEM is offset by per-grid-step
+        overhead at the current (512-ray, 512-tri) block; default OFF
+        per the repo convention for neutral levers.  The kernel is
+        A/B-tested (tests/test_rt.py) and is the tuning surface for a
+        future larger-block attempt."""
         mesh = source if isinstance(source, TriangleMesh) else load_obj(source, progress)
         self.mesh = mesh
         t = mesh.num_triangles
@@ -1037,6 +1158,13 @@ class RtxHost:
                 .reshape(10, 4 * tc)
             )
             self._tris["feat10"] = jnp.asarray(np.ascontiguousarray(f10))
+            if mt_kernel:
+                # float validity plane keys the fused Pallas intersector
+                # (_intersect); kept 2-D — 1-D lane blocks hit an
+                # XLA-vs-Mosaic tiling mismatch on real TPUs
+                self._tris["validf"] = jnp.asarray(
+                    valid.astype(np.float32)[None, :]
+                )
 
     def load_texture_diffuse(self, source) -> None:
         tex = source if isinstance(source, np.ndarray) else load_texture_rgba(source)

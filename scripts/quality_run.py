@@ -174,8 +174,10 @@ def main():
     ap.add_argument("--roulette-from", type=int, default=0,
                     help="russian-roulette start bounce for captures "
                          "(RuntimeConfig.rt_roulette_from; 0 = off/"
-                         "reference parity; 4 measured unbiased and "
-                         "1.5-2.3x faster captures)")
+                         "reference parity).  WARNING: unbiased mean but "
+                         "heavy-tailed (fireflies) — raises the MSE loss "
+                         "floor ~10x at 32-sample truths (measured); not "
+                         "recommended for training runs")
     ap.add_argument("--eval-samples", type=int, default=0,
                     help="RT samples for the held-out PSNR truths "
                          "(0 = same as --samples).  Training truths are "
