@@ -1035,6 +1035,10 @@ def _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup):
     # necessarily cumsums per frame, was the ACCURATE one).  Per-frame
     # cumsums cost the same and make single-device == camera-DP to
     # reassociation noise.
+    # (round 5: an optimization_barrier here — forcing one cs9
+    # materialization in case XLA duplicated the cumsum into its two
+    # consumer fusions — measured NEUTRAL at the bench scene, 18.75 vs
+    # 18.74 ms/frame; reverted to the plain form)
     cs9 = jnp.cumsum(d_pre9, axis=2).reshape(9, f * max_dup)
     fD = f * max_dup
     # a segment starting at its OWN frame's first dup column has zero
