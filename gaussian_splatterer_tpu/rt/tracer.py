@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -397,7 +399,7 @@ def _intersect_mxu_general(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int):
 
 
 def _intersect_mxu_fused(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int,
-                         ray_block: int = 512):
+                         ray_block: Optional[int] = None):
     """_intersect_mxu_general as ONE fused Pallas kernel: matmul +
     epilogue + best-lane reduction never leave VMEM.
 
@@ -423,6 +425,10 @@ def _intersect_mxu_fused(ox, oy, oz, dx, dy, dz, tris, tri_chunk: int,
     feats = tris["feat10"]  # (10, 4*T), chunk-contiguous column groups
     validf = tris["validf"]  # (1, T) float32 0/1 (2-D: 1-D lane blocks
     # hit an XLA-vs-Mosaic tiling mismatch on real TPUs)
+    if ray_block is None:
+        # experiment surface (block-size sweep): (Rb, 4*Tc) nums plus the
+        # (Rb, Tc) epilogue temps must fit scoped VMEM (~16 MB)
+        ray_block = int(os.environ.get("GSPLAT_MT_RB", "512"))
 
     cx = oy * dz - oz * dy
     cy = oz * dx - ox * dz

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--sample-batch", type=int, default=8)
     ap.add_argument("--mesh-res", type=int, default=32)
     ap.add_argument("--no-mxu-bounce", action="store_true")
+    ap.add_argument("--mt-kernel", action="store_true",
+                    help="fused Pallas intersect kernel (GSPLAT_MT_RB sets "
+                         "the ray block)")
     ap.add_argument("--accel-min", type=int, default=2 * 512)
     ap.add_argument("--cams", choices=["ns", "close", "both"], default="both")
     ap.add_argument("--profile", help="write a jax.profiler trace to this dir "
@@ -71,13 +74,14 @@ def main():
         roulette_from=args.roulette_from,
     )
     rtx.load_model(mesh, accel_min=args.accel_min,
-                   mxu_bounce=not args.no_mxu_bounce)
+                   mxu_bounce=not args.no_mxu_bounce,
+                   mt_kernel=args.mt_kernel)
     rtx.load_texture_diffuse(mushroom_texture())
 
     tag = (f"ray={args.ray_chunk} tri={args.tri_chunk} "
            f"bchunk={args.bounce_chunk} K={args.bounce_round} "
            f"batch={args.sample_batch} mxu={int(not args.no_mxu_bounce)} "
-           f"roul={args.roulette_from} B={args.bounces}")
+           f"roul={args.roulette_from} B={args.bounces} mtk={int(args.mt_kernel)}")
     cams = {"ns": [(cam_ns, "ns-cam")], "close": [(cam_close, "close-cam")],
             "both": [(cam_ns, "ns-cam"), (cam_close, "close-cam")]}[args.cams]
     for cam, label in cams:
