@@ -141,6 +141,10 @@ def main():
                     help="override paramDensifyVariance (growth trigger)")
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="scale all five per-feature learning rates")
+    ap.add_argument("--lr-scale-opacity", type=float, default=None,
+                    help="override --lr-scale for the OPACITY rate only "
+                         "(the round-4 recapture collapse at 1024^2 was "
+                         "opacity-driven; default: same as --lr-scale)")
     ap.add_argument("--lr-location-decay", type=float, default=1.0,
                     help="exponential location-LR decay per iteration "
                          "(3DGS-style; 1.0 = reference-parity flat)")
@@ -202,7 +206,10 @@ def main():
     proj.lrLocation *= args.lr_scale
     proj.lrSh *= args.lr_scale
     proj.lrScale *= args.lr_scale
-    proj.lrOpacity *= args.lr_scale
+    proj.lrOpacity *= (
+        args.lr_scale if args.lr_scale_opacity is None
+        else args.lr_scale_opacity
+    )
     proj.lrRotation *= args.lr_scale
     runtime = RuntimeConfig(
         render_resolution_x=args.res, render_resolution_y=args.res,
