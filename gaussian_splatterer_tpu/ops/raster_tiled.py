@@ -1007,7 +1007,71 @@ def _worklists_global(bins, f, num_tiles, max_dup, chunk, work_cap, num_blocks):
     return w2, wtf_g, ws_g, sp_g, seg_lo_g, seg_hi_g
 
 
-def _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup):
+def _cumsum_pick_blk(d: int) -> int | None:
+    """Largest lane-block size for the carry-cumsum kernel: a divisor of
+    ``d`` that is a multiple of 128 (Mosaic lane-dim rule).  None -> fall
+    back to jnp.cumsum (tiny test shapes)."""
+    for blk in (2048, 1024, 512, 384, 256, 128):
+        if d % blk == 0:
+            return blk
+    return None
+
+
+def _cumsum_carry_kernel(x_ref, o_ref, carry, *, blk: int, rows: int):
+    """One grid step of the per-frame carry cumsum: in-block inclusive
+    log-shift scan along lanes + running carry in VMEM scratch, reset at
+    each frame's first block.  All f32 adds — no MXU/bf16 rounding (the
+    gradient reduction feeding the SGD step must match jnp.cumsum)."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        carry[:, :] = jnp.zeros((rows, 1), jnp.float32)
+
+    x = x_ref[:, 0, :]  # (rows, blk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+    s = 1
+    while s < blk:
+        x = x + jnp.where(lane >= s, pltpu.roll(x, s, 1), 0.0)
+        s *= 2
+    x = x + carry[:, 0:1]
+    o_ref[:, 0, :] = x
+    carry[:, 0:1] = x[:, blk - 1 : blk]
+
+
+def cumsum_frames(x: jax.Array, interpret: bool) -> jax.Array:
+    """Per-frame inclusive cumsum of (K, F, D) along D as ONE sequential
+    Pallas pass (log-shift scan per block + a running carry), replacing
+    XLA's cumsum whose TPU lowering is a multi-pass associative scan over
+    the full 52 MB array at the bench shape.  Numerics: pure f32 adds —
+    same dtype path as jnp.cumsum, differing only in association order
+    (~1e-7 relative).  Opt-in via GSPLAT_PALLAS_CUMSUM=1 until the
+    on-chip A/B lands; falls back to jnp.cumsum when D has no
+    128-multiple divisor."""
+    k, f, d = x.shape
+    blk = _cumsum_pick_blk(d)
+    if blk is None or os.environ.get("GSPLAT_PALLAS_CUMSUM", "0") != "1":
+        return jnp.cumsum(x, axis=2)
+    grid = (f, d // blk)
+    return pl.pallas_call(
+        functools.partial(_cumsum_carry_kernel, blk=blk, rows=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, 1, blk), lambda fi, b: (0, fi, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, 1, blk), lambda fi, b: (0, fi, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, f, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x)
+
+
+def _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup, interpret=True):
     """Scatter-free duplicate-gradient reduction: (9, F*D) per-tile-sorted
     duplicate gradients -> (F, 9, N) per-splat row gradients.
 
@@ -1039,7 +1103,7 @@ def _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup):
     # materialization in case XLA duplicated the cumsum into its two
     # consumer fusions — measured NEUTRAL at the bench scene, 18.75 vs
     # 18.74 ms/frame; reverted to the plain form)
-    cs9 = jnp.cumsum(d_pre9, axis=2).reshape(9, f * max_dup)
+    cs9 = cumsum_frames(d_pre9, interpret).reshape(9, f * max_dup)
     fD = f * max_dup
     # a segment starting at its OWN frame's first dup column has zero
     # prefix (frame-local cumsum).  The frame must come from the slot id,
@@ -1204,7 +1268,7 @@ def render_train_grads_batch(
         f * num_blocks, tile, tx_tiles, chunk, num_tiles, interpret,
         mm_bf16, fast_exp, mm_power,
     )
-    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup)
+    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup, interpret)
     d_means_b, d_shs, d_scales, d_opac, d_rot = pull_rows(d_rows)
     g_means = jnp.sum(d_means_b, axis=0)
     # densify "variance" signal = sum of per-frame |location-grad| norms
@@ -1317,7 +1381,7 @@ def render_train_grads_rows(
     )
     # the duplicate gather's transpose, scatter-free; no projection vjp
     # here — the d_rows go back over the wire to the projecting shard
-    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup)
+    d_rows = _dup_grads_to_rows(d_feat9, bins, f, n_cap, max_dup, interpret)
     res8_frames = res8.reshape(f, num_tiles, _C_ROWS, p_count)
     loss_sum = jnp.sum(
         jnp.mean(jnp.square(res8_frames[:, :, 0:3, :]), axis=(1, 2, 3))

@@ -812,3 +812,73 @@ def test_window_worklist_multiwindow_tiles():
     expected = int(np.sum(np.where(windows > 1, 2 * windows, 1)))
     assert int(w2.num_work) == expected
     assert int(w2.num_work) > (W // TILE) * (H // TILE)
+
+
+def test_cumsum_frames_matches_jnp(monkeypatch):
+    """The Pallas carry-cumsum (per-frame, single sequential pass) must
+    match jnp.cumsum: same f32 adds, only association differs.  Covers the
+    128-multiple block path and the tiny-shape jnp fallback."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import cumsum_frames
+
+    monkeypatch.setenv("GSPLAT_PALLAS_CUMSUM", "1")
+    rng = np.random.default_rng(7)
+    for k, f, d in [(9, 3, 512), (9, 1, 384), (2, 2, 1024), (9, 2, 96)]:
+        x = jnp.asarray(rng.normal(size=(k, f, d)).astype(np.float32) * 100)
+        got = np.asarray(cumsum_frames(x, interpret=True))
+        ref = np.asarray(jnp.cumsum(x, axis=2))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-3)
+
+
+def test_train_grads_with_pallas_cumsum(monkeypatch):
+    """End-to-end fused train grads with the Pallas cumsum enabled must
+    match the default XLA-cumsum path at reassociation-noise tolerance."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    n, f, w, h = 96, 2, 64, 64
+    means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    shs = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32) * 0.2)
+    scales = jnp.asarray(rng.uniform(0.05, 0.3, size=(n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, size=(n,)).astype(np.float32))
+    rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    active = jnp.ones((n,), bool)
+    cams = [
+        Camera(np.array([0.0, 0.0, 4.0], np.float32), np.zeros(3, np.float32), 45.0),
+        Camera(np.array([3.0, 1.0, 2.0], np.float32), np.zeros(3, np.float32), 45.0),
+    ]
+    views = jnp.stack([jnp.asarray(c.get_view()) for c in cams])
+    pvs = jnp.stack([jnp.asarray(c.get_proj_view(1.0)) for c in cams])
+    poss = jnp.stack([jnp.asarray(c.location, dtype=jnp.float32) for c in cams])
+    tfx = jnp.asarray([c.tan_fov(w, h)[0] for c in cams], jnp.float32)
+    tfy = jnp.asarray([c.tan_fov(w, h)[1] for c in cams], jnp.float32)
+    truth = jnp.asarray(rng.uniform(size=(f, h, w, 3)).astype(np.float32))
+    truth_tiles = jnp.stack([image_to_tiles_cm(truth[i], 32) for i in range(f)])
+    bgs = jnp.zeros((f, 3), jnp.float32)
+
+    def run():
+        return render_train_grads_batch(
+            means, shs, scales, opac, rot, active,
+            views, pvs, poss, tfx, tfy, w, h, truth_tiles, bgs, 1,
+            tile=32, chunk=128, max_dup=512, interpret=True,
+        )
+
+    loss0, grads0, var0, _, _, _ = run()
+    monkeypatch.setenv("GSPLAT_PALLAS_CUMSUM", "1")
+    loss1, grads1, var1, _, _, _ = run()
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    # the per-splat segment sums subtract two large running prefixes, so
+    # association-order noise lands as ABSOLUTE error ~eps * |prefix| on
+    # every element (the measured F=8-vs-1 class in
+    # test_parallel_realistic): tolerance is absolute, scaled to the
+    # largest gradient (a proxy for prefix magnitude at this scene size)
+    for g0, g1 in zip(grads0, grads1):
+        a0, a1 = np.asarray(g0), np.asarray(g1)
+        atol = 2e-4 * max(1.0, float(np.abs(a0).max()))
+        np.testing.assert_allclose(a0, a1, rtol=0, atol=atol)
+    v0, v1 = np.asarray(var0), np.asarray(var1)
+    np.testing.assert_allclose(
+        v0, v1, rtol=0, atol=2e-4 * max(1.0, float(np.abs(v0).max()))
+    )
