@@ -560,8 +560,13 @@ def _emit_window_slabs(dlo_ref, dhi_ref, s9, r, chunk: int):
     exactly."""
     zc = jnp.zeros_like(s9)
     sh = chunk - r
-    dlo_ref[0] = pltpu.roll(jnp.concatenate([zc, s9], axis=1), -sh, 1)[:, :chunk]
-    dhi_ref[0] = pltpu.roll(jnp.concatenate([s9, zc], axis=1), -sh, 1)[:, :chunk]
+    dt = dlo_ref.dtype
+    dlo_ref[0] = pltpu.roll(
+        jnp.concatenate([zc, s9], axis=1), -sh, 1
+    )[:, :chunk].astype(dt)
+    dhi_ref[0] = pltpu.roll(
+        jnp.concatenate([s9, zc], axis=1), -sh, 1
+    )[:, :chunk].astype(dt)
 
 
 def _train_kernel(
@@ -762,8 +767,8 @@ def _train_kernel(
 
     @pl.when((fl & (_FL_PAD | _FL_PASS2)) == _FL_PASS2)
     def _():
-        dlo_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
-        dhi_ref[0] = jnp.zeros((_F_ROWS_T, chunk), jnp.float32)
+        dlo_ref[0] = jnp.zeros((_F_ROWS_T, chunk), dlo_ref.dtype)
+        dhi_ref[0] = jnp.zeros((_F_ROWS_T, chunk), dhi_ref.dtype)
 
         # Same early-termination skip as pass 1: with every pixel dead,
         # keep == False everywhere, so every gradient row and every acc
@@ -935,12 +940,23 @@ def _composite_train_flat(
             pltpu.VMEM((p_count, 8), jnp.float32),
         ],
     )
+    # bf16 slab storage (opt-in, GSPLAT_BF16_SLABS=1): halves the slab
+    # HBM write + segment-sum read traffic (~42 MB/step at the bench
+    # shape).  Rounding is one bf16 quantization per slab element BEFORE
+    # the f32 segment accumulation (~2^-9 relative per duplicate
+    # contribution) — far under the truth images' MC noise, but gated
+    # off until the bench grad-parity gate clears it on chip.
+    slab_dt = (
+        jnp.bfloat16
+        if os.environ.get("GSPLAT_BF16_SLABS", "0") == "1"
+        else jnp.float32
+    )
     res8, dlo_slabs, dhi_slabs = pl.pallas_call(
         functools.partial(_train_kernel, **kw),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles_total, _C_ROWS, p_count), jnp.float32),
-            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), jnp.float32),
-            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), slab_dt),
+            jax.ShapeDtypeStruct((n_slots, _F_ROWS_T, chunk), slab_dt),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -949,7 +965,10 @@ def _composite_train_flat(
         interpret=interpret,
     )(work_tf, work_start, slab_pos, feat9, feat9, truth_tiles, bg_f4)
     dfeat_blocks = jax.ops.segment_sum(
-        jnp.concatenate([dlo_slabs, dhi_slabs], axis=0),
+        jnp.concatenate(
+            [dlo_slabs.astype(jnp.float32), dhi_slabs.astype(jnp.float32)],
+            axis=0,
+        ),
         jnp.concatenate([seg_lo, seg_hi], axis=0),
         num_segments=num_blocks_total + 1,
     )[:num_blocks_total]

@@ -882,3 +882,48 @@ def test_train_grads_with_pallas_cumsum(monkeypatch):
     np.testing.assert_allclose(
         v0, v1, rtol=0, atol=2e-4 * max(1.0, float(np.abs(v0).max()))
     )
+
+
+def test_train_grads_bf16_slabs(monkeypatch):
+    """GSPLAT_BF16_SLABS=1 stores gradient slabs in bf16 (f32 segment
+    accumulation): per-element quantization only, ~2^-9 relative per
+    duplicate contribution."""
+    from gaussian_splatterer_tpu.ops.raster_tiled import (
+        image_to_tiles_cm,
+        render_train_grads_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    n, f, w, h = 64, 1, 64, 64
+    means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    shs = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32) * 0.2)
+    scales = jnp.asarray(rng.uniform(0.05, 0.3, size=(n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, size=(n,)).astype(np.float32))
+    rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    active = jnp.ones((n,), bool)
+    cam = Camera(np.array([0.0, 0.0, 4.0], np.float32), np.zeros(3, np.float32), 45.0)
+    views = jnp.asarray(cam.get_view())[None]
+    pvs = jnp.asarray(cam.get_proj_view(1.0))[None]
+    poss = jnp.asarray(cam.location, dtype=jnp.float32)[None]
+    tfx = jnp.asarray([cam.tan_fov(w, h)[0]], jnp.float32)
+    tfy = jnp.asarray([cam.tan_fov(w, h)[1]], jnp.float32)
+    truth = jnp.asarray(rng.uniform(size=(f, h, w, 3)).astype(np.float32))
+    truth_tiles = jnp.stack([image_to_tiles_cm(truth[i], 32) for i in range(f)])
+    bgs = jnp.zeros((f, 3), jnp.float32)
+
+    def run():
+        return render_train_grads_batch(
+            means, shs, scales, opac, rot, active,
+            views, pvs, poss, tfx, tfy, w, h, truth_tiles, bgs, 1,
+            tile=32, chunk=128, max_dup=512, interpret=True,
+        )
+
+    loss0, grads0, _, _, _, _ = run()
+    monkeypatch.setenv("GSPLAT_BF16_SLABS", "1")
+    loss1, grads1, _, _, _, _ = run()
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    for g0, g1 in zip(grads0, grads1):
+        a0, a1 = np.asarray(g0), np.asarray(g1)
+        # bf16 per-element quantization of the slab contributions
+        atol = 6e-3 * max(1.0, float(np.abs(a0).max()))
+        np.testing.assert_allclose(a0, a1, rtol=0, atol=atol)
