@@ -627,7 +627,34 @@ def _train_kernel(
     # slab_pos routes to the dump slot, which the segment_sum drops, so
     # whatever the revolving out buffers hold is discarded unread.
 
-    @pl.when((fl & (_FL_PAD | _FL_FUSED)) == _FL_FUSED)
+    @pl.when(((fl & (_FL_PAD | _FL_FUSED)) == _FL_FUSED) & (nvalid == 0))
+    def _():
+        # EMPTY tile (fused item, zero in-range duplicates): the composite
+        # is exactly C = 0 / T = 1, so skip the entire window body —
+        # residual = truth - bg, zero gradient slabs (the slab slot is a
+        # real emitting slot; stale buffer content would segment-sum into
+        # real feature blocks).  At the bench scene >50% of tiles are
+        # empty (the 50k-splat blob covers under half the 1024 tiles) and
+        # at real training scenes 80-90% are (the object covers a few
+        # percent of pixels) — each previously burned a full
+        # (1024 px, chunk) pair-slot body on all-masked splats.
+        bg_r = bg_ref[frame, 0]
+        bg_g = bg_ref[frame, 1]
+        bg_b = bg_ref[frame, 2]
+        truc = jnp.transpose(truth_ref[0])  # (P, 8)
+        ones_p = jnp.ones((p_count, 1), jnp.float32)
+        res_ref[0] = jnp.transpose(
+            jnp.concatenate(
+                [truc[:, 0:1] - bg_r, truc[:, 1:2] - bg_g,
+                 truc[:, 2:3] - bg_b, ones_p,
+                 jnp.zeros((p_count, _C_ROWS - 4), jnp.float32)],
+                axis=1,
+            )
+        )
+        dlo_ref[0] = jnp.zeros((_F_ROWS_T, chunk), dlo_ref.dtype)
+        dhi_ref[0] = jnp.zeros((_F_ROWS_T, chunk), dhi_ref.dtype)
+
+    @pl.when(((fl & (_FL_PAD | _FL_FUSED)) == _FL_FUSED) & (nvalid > 0))
     def _():
         # Single-window tile: forward + residual + gradient replay in ONE
         # item, REUSING the live window state (the replay's entry state is
