@@ -1063,26 +1063,31 @@ def _cumsum_pick_blk(d: int) -> int | None:
     return None
 
 
-def _cumsum_carry_kernel(x_ref, o_ref, carry, *, blk: int, rows: int):
-    """One grid step of the per-frame carry cumsum: in-block inclusive
-    log-shift scan along lanes + running carry in VMEM scratch, reset at
-    each frame's first block.  All f32 adds — no MXU/bf16 rounding (the
-    gradient reduction feeding the SGD step must match jnp.cumsum)."""
-    b = pl.program_id(1)
+def _cumsum_carry_kernel(x_ref, o_ref, carry, *, blk: int, rows: int,
+                         frames: int):
+    """One grid step of the per-frame carry cumsum: the block holds the
+    SAME lane range of every frame, (rows, F, blk) — the frame axis rides
+    sublanes (Mosaic requires the sublane block dim be 8-divisible or
+    array-equal; a (rows, 1, blk) per-frame block violates it).  In-block
+    inclusive log-shift scan along lanes + a (rows, F) running carry in
+    VMEM scratch, zeroed at the first block.  All f32 adds — no MXU/bf16
+    rounding (the gradient reduction feeding the SGD step must match
+    jnp.cumsum up to association order)."""
+    b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
-        carry[:, :] = jnp.zeros((rows, 1), jnp.float32)
+        carry[:, :] = jnp.zeros((rows, frames), jnp.float32)
 
-    x = x_ref[:, 0, :]  # (rows, blk)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+    x = x_ref[:, :, :]  # (rows, F, blk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, frames, blk), 2)
     s = 1
     while s < blk:
-        x = x + jnp.where(lane >= s, pltpu.roll(x, s, 1), 0.0)
+        x = x + jnp.where(lane >= s, pltpu.roll(x, s, 2), 0.0)
         s *= 2
-    x = x + carry[:, 0:1]
-    o_ref[:, 0, :] = x
-    carry[:, 0:1] = x[:, blk - 1 : blk]
+    x = x + carry[:, :][:, :, None]
+    o_ref[:, :, :] = x
+    carry[:, :] = x[:, :, blk - 1]
 
 
 def cumsum_frames(x: jax.Array, interpret: bool) -> jax.Array:
@@ -1098,20 +1103,19 @@ def cumsum_frames(x: jax.Array, interpret: bool) -> jax.Array:
     blk = _cumsum_pick_blk(d)
     if blk is None or os.environ.get("GSPLAT_PALLAS_CUMSUM", "0") != "1":
         return jnp.cumsum(x, axis=2)
-    grid = (f, d // blk)
     return pl.pallas_call(
-        functools.partial(_cumsum_carry_kernel, blk=blk, rows=k),
-        grid=grid,
+        functools.partial(_cumsum_carry_kernel, blk=blk, rows=k, frames=f),
+        grid=(d // blk,),
         in_specs=[
-            pl.BlockSpec((k, 1, blk), lambda fi, b: (0, fi, b),
+            pl.BlockSpec((k, f, blk), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, 1, blk), lambda fi, b: (0, fi, b),
+        out_specs=pl.BlockSpec((k, f, blk), lambda b: (0, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, f, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((k, f), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(x)

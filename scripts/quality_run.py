@@ -244,9 +244,22 @@ def main():
     ckpt_dir = os.path.join(args.out, "ckpt")
     if args.resume:
         s.resume_from_checkpoint(ckpt_dir)
+        # the checkpoint restores the SAVED project wholesale (schedule
+        # knobs included) — re-apply the explicitly-given CLI schedule
+        # overrides so a resumed run can retune them mid-run.  LR scales
+        # are already baked into the saved per-feature rates and must NOT
+        # re-apply (that would compound them).
+        if args.densify_variance is not None:
+            s.project.paramDensifyVariance = args.densify_variance
+        if args.interval_densify is not None:
+            s.project.intervalDensify = args.interval_densify
+        if args.interval_capture is not None:
+            s.project.intervalCapture = args.interval_capture
         steps_to_run = max(args.steps - s.project.iterations, 0)
         print(f"resumed at iteration {s.project.iterations}; "
-              f"{steps_to_run} steps remain", flush=True)
+              f"{steps_to_run} steps remain "
+              f"(densify_variance={s.project.paramDensifyVariance})",
+              flush=True)
 
     t0 = time.time()
     s.capture()
