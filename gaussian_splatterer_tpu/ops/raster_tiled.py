@@ -370,27 +370,34 @@ def _fwd_kernel(
             acc[:, 3:4] = jnp.ones((p_count, 1), jnp.float32)
             acc[:, 4:5] = jnp.ones((p_count, 1), jnp.float32)
 
-        li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        gidx = blk * chunk + li
-        in_range = (gidx >= tstart_arr[t]) & (gidx < tend_arr[t])
-        a, _, _, _, _, _, _ = _chunk_state(
-            feat_ref, t, in_range, tile, tx_tiles, chunk
-        )
-        t_in = acc[:, 3:4]
-        alive = acc[:, 4:5]
-        weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
+        # skip the compositing body for EMPTY tiles (their single item's
+        # composite is exactly the C=0/T=1 init — most tiles at real
+        # scene coverage) and once every pixel hit the INRIA T < eps
+        # cutoff (weight == 0, carries unchanged — exact, same skip as
+        # the fused train kernel)
+        @pl.when((tstart_arr[t] < tend_arr[t]) & (jnp.max(acc[:, 4]) > 0.0))
+        def _():
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            gidx = blk * chunk + li
+            in_range = (gidx >= tstart_arr[t]) & (gidx < tend_arr[t])
+            a, _, _, _, _, _, _ = _chunk_state(
+                feat_ref, t, in_range, tile, tx_tiles, chunk
+            )
+            t_in = acc[:, 3:4]
+            alive = acc[:, 4:5]
+            weight, _, _, _, t_out, alive_out = _composite_chunk(a, t_in, alive)
 
-        c3 = jnp.concatenate(
-            [feat_ref[_F_CR : _F_CR + 1, :],
-             feat_ref[_F_CG : _F_CG + 1, :],
-             feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
-        )
-        acc[:, 0:3] += jax.lax.dot_general(
-            weight, c3, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[:, 3:4] = t_out
-        acc[:, 4:5] = alive_out
+            c3 = jnp.concatenate(
+                [feat_ref[_F_CR : _F_CR + 1, :],
+                 feat_ref[_F_CG : _F_CG + 1, :],
+                 feat_ref[_F_CB2 : _F_CB2 + 1, :]], axis=0,
+            )
+            acc[:, 0:3] += jax.lax.dot_general(
+                weight, c3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc[:, 3:4] = t_out
+            acc[:, 4:5] = alive_out
 
         @pl.when(is_last[w] == 1)
         def _():
@@ -421,11 +428,15 @@ def _bwd_kernel(
     blk = work_block[w]
     p_count = tile * tile
 
-    @pl.when(is_pad[w] == 1)
+    # pads AND empty tiles write zero slabs and skip the replay body (an
+    # empty tile's only item would compute all-masked gradients == 0)
+    empty = tstart_arr[t] >= tend_arr[t]
+
+    @pl.when((is_pad[w] == 1) | empty)
     def _():
         dfeat_ref[0] = jnp.zeros((_F_ROWS, chunk), jnp.float32)
 
-    @pl.when(is_pad[w] == 0)
+    @pl.when((is_pad[w] == 0) & ~empty)
     def _():
         _bwd_body(
             t, blk, is_first[w], tstart_arr[t], tend_arr[t],
